@@ -1,0 +1,390 @@
+"""Lie-group toolbox: SO(3), SE(3), Sim(3) with right/left Jacobians.
+
+TPU-native equivalent of the reference's `common/so3_extra.h` (Sophus::SO3ex:
+Exp/Log/hat/JacobianR/JacobianRInv/JacobianL*/normalizeRotationM) plus the
+SE3Quat/Sim3 types vendored in `optimizer/g2o/g2o/types`.  Unlike the
+reference (scalar C++ on doubles) every function here is written to broadcast
+over arbitrary leading batch dimensions and to be `jit`/`vmap`/`grad`-safe:
+no data-dependent branching, Taylor guards implemented with the "double
+where" trick so gradients stay finite at theta ~ 0.
+
+Conventions (matching the reference):
+  - Rotations are 3x3 matrices, right-handed, acting on column vectors.
+  - `so3_exp(phi)` with phi in R^3 is the matrix exponential of hat(phi).
+  - Right Jacobian Jr:  Exp(phi + dphi) ~= Exp(phi) Exp(Jr(phi) dphi).
+  - SE(3) tangent ordering is [rho(3), phi(3)] (translation first), Sim(3)
+    tangent is [rho, phi, sigma].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Small-angle threshold below which Taylor expansions are used.  f32 epsilon
+# territory: theta^2 < 1e-8 => theta < 1e-4 rad.
+_EPS = 1e-8
+
+
+def _sq_norm(v: jax.Array) -> jax.Array:
+    return jnp.sum(v * v, axis=-1)
+
+
+def hat(phi: jax.Array) -> jax.Array:
+    """so(3) hat operator, batched: [..., 3] -> [..., 3, 3]."""
+    x, y, z = phi[..., 0], phi[..., 1], phi[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(M: jax.Array) -> jax.Array:
+    """Inverse of hat: [..., 3, 3] -> [..., 3]."""
+    return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
+
+
+def _sinc_ratios(theta_sq: jax.Array):
+    """Return (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3).
+
+    Taylor-guarded so value and gradient are correct at theta -> 0.
+    """
+    small = theta_sq < _EPS
+    # Safe theta for the trig branch (avoids NaN grads through sqrt(0)).
+    safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    A = jnp.where(small, 1.0 - theta_sq / 6.0, s / theta)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - c) / safe_sq)
+    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - s) / (safe_sq * theta))
+    return A, B, C
+
+
+def so3_exp(phi: jax.Array) -> jax.Array:
+    """Rodrigues formula: [..., 3] -> [..., 3, 3]."""
+    theta_sq = _sq_norm(phi)
+    A, B, _ = _sinc_ratios(theta_sq)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    return eye + A[..., None, None] * K + B[..., None, None] * KK
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Matrix log of SO(3), robust near 0 and pi: [..., 3, 3] -> [..., 3].
+
+    Mirrors Sophus/so3_extra.h log semantics (angle in [0, pi]).
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
+
+    sin_t = jnp.sin(theta)
+    near_pi = cos_t < -1.0 + 1e-6
+    small = theta < 1e-4
+
+    # Generic branch: phi = theta / (2 sin theta) * vee(R - R^T)
+    safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_t), sin_t)
+    phi_generic = (theta / safe_sin)[..., None] * w
+    # Small-angle branch: phi ~= (1 + theta^2/6) * w
+    phi_small = (1.0 + theta[..., None] ** 2 / 6.0) * w
+    # Near-pi branch. From R = I + sin t K + (1 - cos t) K^2:
+    #   (R + R^T)/2 = I + (1 - cos t)(a a^T - I)
+    # => a_i^2   = (R_ii - cos t) / (1 - cos t)              (exact, any t)
+    #    a_i a_j = (R_ij + R_ji) / (2 (1 - cos t))           (exact, any t)
+    one_m_cos = jnp.maximum(1.0 - cos_t, 1e-12)
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis_sq = jnp.clip((diag - cos_t[..., None]) / one_m_cos[..., None], 0.0, 1.0)
+    axis_abs = jnp.sqrt(axis_sq)
+    xy = R[..., 0, 1] + R[..., 1, 0]
+    xz = R[..., 0, 2] + R[..., 2, 0]
+    yz = R[..., 1, 2] + R[..., 2, 1]
+    # Anchor on the largest |axis| component, give it + sign, infer others.
+    ax, ay, az = axis_abs[..., 0], axis_abs[..., 1], axis_abs[..., 2]
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (~x_major) & (ay >= az)
+    sx = jnp.where(x_major, 1.0, jnp.where(y_major, jnp.sign(xy), jnp.sign(xz)))
+    sy = jnp.where(x_major, jnp.sign(xy), jnp.where(y_major, 1.0, jnp.sign(yz)))
+    sz = jnp.where(x_major, jnp.sign(xz), jnp.where(y_major, jnp.sign(yz), 1.0))
+    sx = jnp.where(sx == 0, 1.0, sx)
+    sy = jnp.where(sy == 0, 1.0, sy)
+    sz = jnp.where(sz == 0, 1.0, sz)
+    axis = axis_abs * jnp.stack([sx, sy, sz], axis=-1)
+    # Resolve the global sign with w = sin(t) * a (arbitrary at exactly pi).
+    w_dot = jnp.sum(axis * w, axis=-1)
+    gsign = jnp.where(w_dot < 0, -1.0, 1.0)
+    phi_pi = (gsign * theta)[..., None] * axis
+
+    phi = jnp.where(small[..., None], phi_small, phi_generic)
+    return jnp.where(near_pi[..., None], phi_pi, phi)
+
+
+def so3_jr(phi: jax.Array) -> jax.Array:
+    """Right Jacobian of SO(3) (so3_extra.h JacobianR)."""
+    theta_sq = _sq_norm(phi)
+    _, B, C = _sinc_ratios(theta_sq)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    return eye - B[..., None, None] * K + C[..., None, None] * KK
+
+
+def so3_jl(phi: jax.Array) -> jax.Array:
+    """Left Jacobian: Jl(phi) = Jr(-phi)."""
+    return so3_jr(-phi)
+
+
+def so3_jr_inv(phi: jax.Array) -> jax.Array:
+    """Inverse right Jacobian (so3_extra.h JacobianRInv), Taylor-guarded."""
+    theta_sq = _sq_norm(phi)
+    small = theta_sq < _EPS
+    safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    half = 0.5 * theta
+    # coef = 1/theta^2 - (1 + cos)/ (2 theta sin) = (1/t^2) - cot(t/2)/(2t)
+    cot_half = jnp.cos(half) / jnp.sin(jnp.where(small, jnp.ones_like(half), half))
+    coef_generic = 1.0 / safe_sq - cot_half / (2.0 * theta)
+    coef = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, coef_generic)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    return eye + 0.5 * K + coef[..., None, None] * KK
+
+
+def so3_jl_inv(phi: jax.Array) -> jax.Array:
+    return so3_jr_inv(-phi)
+
+
+def normalize_rotation(R: jax.Array) -> jax.Array:
+    """Project a near-rotation onto SO(3) (so3_extra.h normalizeRotationM).
+
+    Uses SVD; guarantees det +1.
+    """
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    # Flip the last column of U when det is -1.
+    fix = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )
+    return (U * fix[..., None, :]) @ Vt
+
+
+# ---------------------------------------------------------------------------
+# Quaternions (wxyz) — used for compact storage & trajectory IO.
+# ---------------------------------------------------------------------------
+
+
+def quat_from_rotmat(R: jax.Array) -> jax.Array:
+    """[..., 3, 3] -> unit quaternion [..., 4] (w, x, y, z), w >= 0."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # Four candidate constructions; pick the numerically best (largest pivot).
+    qw0 = jnp.sqrt(jnp.clip(1.0 + tr, 1e-12, None)) * 0.5
+    q0 = jnp.stack(
+        [qw0, (m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0), (m10 - m01) / (4 * qw0)],
+        axis=-1,
+    )
+    qx1 = jnp.sqrt(jnp.clip(1.0 + m00 - m11 - m22, 1e-12, None)) * 0.5
+    q1 = jnp.stack(
+        [(m21 - m12) / (4 * qx1), qx1, (m01 + m10) / (4 * qx1), (m02 + m20) / (4 * qx1)],
+        axis=-1,
+    )
+    qy2 = jnp.sqrt(jnp.clip(1.0 - m00 + m11 - m22, 1e-12, None)) * 0.5
+    q2 = jnp.stack(
+        [(m02 - m20) / (4 * qy2), (m01 + m10) / (4 * qy2), qy2, (m12 + m21) / (4 * qy2)],
+        axis=-1,
+    )
+    qz3 = jnp.sqrt(jnp.clip(1.0 - m00 - m11 + m22, 1e-12, None)) * 0.5
+    q3 = jnp.stack(
+        [(m10 - m01) / (4 * qz3), (m02 + m20) / (4 * qz3), (m12 + m21) / (4 * qz3), qz3],
+        axis=-1,
+    )
+    cands = jnp.stack([tr, m00, m11, m22], axis=-1)
+    best = jnp.argmax(cands, axis=-1)[..., None]
+    q = jnp.select(
+        [best == 0, best == 1, best == 2],
+        [q0, q1, q2],
+        q3,
+    )
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def rotmat_from_quat(q: jax.Array) -> jax.Array:
+    """Unit quaternion (w, x, y, z) [..., 4] -> [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return jnp.stack(
+        [
+            jnp.stack([ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy)], axis=-1),
+            jnp.stack([2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx)], axis=-1),
+            jnp.stack([2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SE(3): stored as (R: [..., 3, 3], t: [..., 3]) tuples.
+# ---------------------------------------------------------------------------
+
+
+def se3_exp(xi: jax.Array):
+    """xi = [rho, phi] [..., 6] -> (R, t)."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    R = so3_exp(phi)
+    t = jnp.einsum("...ij,...j->...i", so3_jl(phi), rho)
+    return R, t
+
+
+def se3_log(R: jax.Array, t: jax.Array) -> jax.Array:
+    phi = so3_log(R)
+    rho = jnp.einsum("...ij,...j->...i", so3_jl_inv(phi), t)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def se3_inverse(R: jax.Array, t: jax.Array):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+
+
+def se3_compose(Ra, ta, Rb, tb):
+    """(Ra, ta) * (Rb, tb): apply b first."""
+    return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+
+
+def se3_apply(R, t, p):
+    return jnp.einsum("...ij,...j->...i", R, p) + t
+
+
+# ---------------------------------------------------------------------------
+# Sim(3): (R, t, s) — used by loop closing (g2o/types/sim3.h equivalent).
+# ---------------------------------------------------------------------------
+
+
+def sim3_inverse(R, t, s):
+    Rt = jnp.swapaxes(R, -1, -2)
+    s_inv = 1.0 / s
+    return Rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t), s_inv
+
+
+def sim3_compose(Ra, ta, sa, Rb, tb, sb):
+    return (
+        Ra @ Rb,
+        sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta,
+        sa * sb,
+    )
+
+
+def sim3_apply(R, t, s, p):
+    return s[..., None] * jnp.einsum("...ij,...j->...i", R, p) + t
+
+
+def sim3_exp(xi: jax.Array):
+    """xi = [rho, phi, sigma] [..., 7] -> (R, t, s).
+
+    Uses the closed-form W matrix (see Strasdat's thesis / g2o sim3.h).
+    """
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    s = jnp.exp(sigma)
+    R = so3_exp(phi)
+    theta_sq = _sq_norm(phi)
+    small_t = theta_sq < _EPS
+    safe_sq = jnp.where(small_t, jnp.ones_like(theta_sq), theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    small_s = jnp.abs(sigma) < 1e-5
+    safe_sigma = jnp.where(small_s, jnp.ones_like(sigma), sigma)
+
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    # Coefficients of W = A_ * I + B_ * K + C_ * K^2 (K = hat(phi)).
+    # General case:
+    #   C_ = (s - 1) / sigma
+    #   A_ = (sigma sin t + (1 - s cos t) t) / (t (sigma^2 + t^2)) * s? ...
+    # Use the standard formulation from Sophus sim3:
+    a = sigma * sigma + theta_sq
+    C_gen = (s - 1.0) / safe_sigma
+    C_small = 1.0 + sigma / 2.0 + sigma * sigma / 6.0
+    C_ = jnp.where(small_s, C_small, C_gen)
+
+    A_gen = (s * sin_t * sigma + (1.0 - s * cos_t) * theta) / (theta * a)
+    A_small_sigma = (1.0 - cos_t) / safe_sq  # sigma ~ 0
+    A_small_theta = ((sigma - 1.0) * s + 1.0) / (safe_sigma * safe_sigma)  # theta ~ 0
+    A_tiny = 0.5 + sigma / 6.0
+    A_ = jnp.where(
+        small_s & small_t,
+        A_tiny,
+        jnp.where(small_s, A_small_sigma, jnp.where(small_t, A_small_theta, A_gen)),
+    )
+
+    B_gen = (C_ - ((s * cos_t - 1.0) * sigma + s * sin_t * theta) / a) / safe_sq
+    B_small_sigma = (theta - sin_t) / (safe_sq * theta)
+    B_small_theta = (
+        C_ - (safe_sigma * (s - 1.0) - (s - 1.0 - safe_sigma * s) * safe_sigma)
+        / (safe_sigma * safe_sigma * safe_sigma)
+    )  # crude; overridden by tiny case below for accuracy
+    B_tiny = 1.0 / 6.0 + sigma / 24.0
+    B_ = jnp.where(
+        small_s & small_t,
+        B_tiny,
+        jnp.where(small_s, B_small_sigma, jnp.where(small_t, B_tiny, B_gen)),
+    )
+
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    W = C_[..., None, None] * eye + A_[..., None, None] * K + B_[..., None, None] * KK
+    t = jnp.einsum("...ij,...j->...i", W, rho)
+    return R, t, s
+
+
+def sim3_log(R, t, s):
+    """Inverse of sim3_exp via solving W rho = t with the closed-form W."""
+    phi = so3_log(R)
+    sigma = jnp.log(s)
+    # Rebuild W from (phi, sigma) exactly as in sim3_exp, then solve.
+    xi_fake = jnp.concatenate([jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1)
+    _, _, _ = sim3_exp(xi_fake)  # not used; W recomputed below for clarity
+    theta_sq = _sq_norm(phi)
+    small_t = theta_sq < _EPS
+    safe_sq = jnp.where(small_t, jnp.ones_like(theta_sq), theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    small_s = jnp.abs(sigma) < 1e-5
+    safe_sigma = jnp.where(small_s, jnp.ones_like(sigma), sigma)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    a = sigma * sigma + theta_sq
+    C_gen = (s - 1.0) / safe_sigma
+    C_small = 1.0 + sigma / 2.0 + sigma * sigma / 6.0
+    C_ = jnp.where(small_s, C_small, C_gen)
+    A_gen = (s * sin_t * sigma + (1.0 - s * cos_t) * theta) / (theta * a)
+    A_small_sigma = (1.0 - cos_t) / safe_sq
+    A_small_theta = ((sigma - 1.0) * s + 1.0) / (safe_sigma * safe_sigma)
+    A_tiny = 0.5 + sigma / 6.0
+    A_ = jnp.where(
+        small_s & small_t,
+        A_tiny,
+        jnp.where(small_s, A_small_sigma, jnp.where(small_t, A_small_theta, A_gen)),
+    )
+    B_gen = (C_ - ((s * cos_t - 1.0) * sigma + s * sin_t * theta) / a) / safe_sq
+    B_small_sigma = (theta - sin_t) / (safe_sq * theta)
+    B_tiny = 1.0 / 6.0 + sigma / 24.0
+    B_ = jnp.where(
+        small_s & small_t,
+        B_tiny,
+        jnp.where(small_s, B_small_sigma, jnp.where(small_t, B_tiny, B_gen)),
+    )
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    W = C_[..., None, None] * eye + A_[..., None, None] * K + B_[..., None, None] * KK
+    rho = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
