@@ -1,0 +1,190 @@
+"""ORB frontend tests: FAST detection on synthetic corners, descriptor
+matching under shift/rotation, stereo row matching (SURVEY.md §4 test
+pyramid: numerical unit tests per kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vieo_slam_tpu.ops import orb
+from vieo_slam_tpu.ops import matching
+
+
+def square_grid(h=240, w=320, sq=24, gap=12, lo=20.0, hi=220.0):
+    """Isolated bright squares on dark background: corners are L-junctions
+    (FAST-9 fires on L-corners; ideal checkerboard X-junctions it does not)."""
+    img = np.full((h, w), lo, np.float32)
+    for y0 in range(gap, h - sq, sq + gap):
+        for x0 in range(gap, w - sq, sq + gap):
+            img[y0:y0 + sq, x0:x0 + sq] = hi
+    return img
+
+
+def textured_image(h=240, w=320, seed=0):
+    """Smooth random texture with strong blob corners (detectable, matchable)."""
+    rng = np.random.RandomState(seed)
+    img = rng.rand(h // 8, w // 8).astype(np.float32)
+    img = np.asarray(jax.image.resize(jnp.asarray(img), (h, w), "bilinear"))
+    img = img * 120.0 + 60.0
+    # Sprinkle high-contrast dots.
+    for _ in range(150):
+        y, x = rng.randint(20, h - 20), rng.randint(20, w - 20)
+        img[y - 2:y + 3, x - 2:x + 3] = 255.0 if rng.rand() > 0.5 else 5.0
+    return img
+
+
+CFG = orb.OrbConfig(n_features=300, n_levels=4, fast_threshold=20.0,
+                    fast_min_threshold=7.0)
+
+
+class TestFast:
+    def test_detects_square_corners(self):
+        img = jnp.asarray(square_grid())
+        score = orb.nms3(orb.fast_score_map(img, 20.0))
+        ys, xs = np.nonzero(np.asarray(score) > 0)
+        # 8x6 squares x 4 corners each.
+        assert len(ys) >= 100
+        # Every detection sits on a square corner (within 2 px).
+        period = 24 + 12
+        off_y = (ys - 12) % period
+        off_x = (xs - 12) % period
+        near = np.minimum(off_y, np.abs(off_y - 23)) <= 2
+        near &= np.minimum(off_x, np.abs(off_x - 23)) <= 2
+        assert near.mean() > 0.95
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((120, 160), 128.0)
+        score = orb.fast_score_map(img, 20.0)
+        assert float(score.max()) == 0.0
+
+    def test_nms_keeps_local_maxima_only(self):
+        img = jnp.asarray(textured_image())
+        raw = orb.fast_score_map(img, 20.0)
+        nm = orb.nms3(raw)
+        s = np.asarray(nm)
+        ys, xs = np.nonzero(s[3:-3, 3:-3] > 0)
+        r = np.asarray(raw)
+        for y, x in list(zip(ys + 3, xs + 3))[:100]:
+            assert r[y, x] >= r[y - 1:y + 2, x - 1:x + 2].max() - 1e-5
+
+
+class TestExtract:
+    def test_shapes_and_capacity(self):
+        img = jnp.asarray(textured_image())
+        feats = jax.jit(lambda im: orb.extract_orb(im, CFG))(img)
+        N = CFG.n_features
+        assert feats.uv.shape == (N, 2)
+        assert feats.desc.shape == (N, orb.DESC_WORDS)
+        assert feats.desc.dtype == jnp.uint32
+        assert int(feats.n) > 100
+
+    def test_keypoints_at_level0_coords(self):
+        img = jnp.asarray(textured_image())
+        feats = orb.extract_orb(img, CFG)
+        uv = np.asarray(feats.uv)[np.asarray(feats.valid)]
+        assert uv[:, 0].max() < 320 and uv[:, 1].max() < 240
+        assert uv.min() >= 0
+
+    def test_shift_matching(self):
+        """Descriptors of a shifted image match back to the original with
+        consistent displacement — the core frontend quality gate."""
+        base = textured_image(seed=1)
+        dx, dy = 7, 4
+        shifted = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        f0 = orb.extract_orb(jnp.asarray(base), CFG)
+        f1 = orb.extract_orb(jnp.asarray(shifted), CFG)
+        idx, dist = matching.match_descriptors(
+            f0.desc, f1.desc, f0.valid, f1.valid,
+            max_dist=60, ratio=0.9, angle_a=f0.angle, angle_b=f1.angle)
+        idx = np.asarray(idx)
+        m = idx >= 0
+        assert m.sum() > 30
+        duv = np.asarray(f1.uv)[idx[m]] - np.asarray(f0.uv)[m]
+        med = np.median(duv, axis=0)
+        # Median displacement recovers the shift (level-0 keypoints).
+        np.testing.assert_allclose(med, [dx, dy], atol=1.5)
+        inliers = (np.abs(duv - [dx, dy]) < 2.0).all(axis=1)
+        assert inliers.mean() > 0.7
+
+    def test_rotation_consistency(self):
+        """90-degree rotated image still matches >30% via rBRIEF rotation
+        invariance."""
+        base = textured_image(seed=2)
+        rot = np.rot90(base).copy()
+        f0 = orb.extract_orb(jnp.asarray(base), CFG)
+        f1 = orb.extract_orb(jnp.asarray(rot), CFG)
+        idx, _ = matching.match_descriptors(
+            f0.desc, f1.desc, f0.valid, f1.valid, max_dist=64, ratio=0.95)
+        idx = np.asarray(idx)
+        m = idx >= 0
+        # Verify matched pairs actually correspond: (x, y) -> (y, W-1-x).
+        uv0 = np.asarray(f0.uv)[m]
+        uv1 = np.asarray(f1.uv)[idx[m]]
+        expect = np.stack([uv0[:, 1], base.shape[1] - 1 - uv0[:, 0]], -1)
+        good = (np.abs(uv1 - expect) < 3.0).all(axis=1)
+        assert m.sum() > 20 and good.mean() > 0.5
+
+
+class TestMatching:
+    def test_hamming_matrix(self):
+        a = jnp.asarray([[0, 0, 0, 0, 0, 0, 0, 0],
+                         [0xFFFFFFFF] * 8], jnp.uint32)
+        d = matching.hamming_matrix(a, a)
+        np.testing.assert_array_equal(np.asarray(d),
+                                      [[0, 256], [256, 0]])
+
+    def test_mutual_filter(self):
+        # Two rows both match column 0; only the better (row 0) survives.
+        best_idx = jnp.asarray([0, 0], jnp.int32)
+        valid = jnp.asarray([True, True])
+        keep = matching.mutual_filter(best_idx, 2, 4, valid)
+        np.testing.assert_array_equal(np.asarray(keep), [True, False])
+
+    def test_search_by_projection_window(self):
+        desc = jnp.asarray(
+            np.random.RandomState(7).randint(0, 2**32, (10, 8), np.uint64),
+            jnp.uint32)
+        kp_uv = jnp.asarray(np.random.RandomState(0).rand(10, 2) * 100,
+                            jnp.float32)
+        # Projections = keypoints + small noise; same descriptors.
+        proj_uv = kp_uv + 1.5
+        lvls = jnp.zeros((10,), jnp.int32)
+        idx, dist = matching.search_by_projection(
+            proj_uv, lvls, desc, jnp.ones(10, bool),
+            kp_uv, lvls, desc, jnp.ones(10, bool),
+            radius=4.0, level_scales=np.asarray([1.0]))
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(10))
+        np.testing.assert_array_equal(np.asarray(dist), 0)
+
+    def test_search_by_projection_radius_gate(self):
+        desc = jnp.asarray(
+            np.random.RandomState(8).randint(0, 2**32, (5, 8), np.uint64),
+            jnp.uint32)
+        kp_uv = jnp.asarray(np.arange(10).reshape(5, 2), jnp.float32)
+        proj_uv = kp_uv + 100.0  # all out of radius
+        lvls = jnp.zeros((5,), jnp.int32)
+        idx, _ = matching.search_by_projection(
+            proj_uv, lvls, desc, jnp.ones(5, bool),
+            kp_uv, lvls, desc, jnp.ones(5, bool),
+            radius=4.0, level_scales=np.asarray([1.0]))
+        assert (np.asarray(idx) == -1).all()
+
+
+class TestStereo:
+    def test_recover_disparity(self):
+        base = textured_image(seed=3)
+        disp = 9
+        right = np.roll(base, -disp, axis=1)  # right image shifted left
+        fl = orb.extract_orb(jnp.asarray(base), CFG)
+        fr = orb.extract_orb(jnp.asarray(right), CFG)
+        u_r, idx_r = matching.search_stereo_rectified(
+            fl.uv, fl.level, fl.desc, fl.valid,
+            fr.uv, fr.level, fr.desc, fr.valid,
+            min_disp=0.0, max_disp=60.0, max_dist=60,
+            level_scales=np.asarray(CFG.level_scales))
+        u_r = np.asarray(u_r)
+        ok = u_r >= 0
+        assert ok.sum() > 30
+        d = np.asarray(fl.uv)[ok, 0] - u_r[ok]
+        inliers = np.abs(d - disp) < 1.5
+        assert inliers.mean() > 0.7
