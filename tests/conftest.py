@@ -16,3 +16,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
+# Some math tests need f64 to verify against closed forms at 1e-9; x64 is
+# process-global in JAX, so enable it for the whole suite and require the
+# library to be dtype-stable (f32 arrays stay f32 under x64).
+jax.config.update("jax_enable_x64", True)

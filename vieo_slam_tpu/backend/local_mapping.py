@@ -1,0 +1,311 @@
+"""Local mapping: keyframe processing, landmark creation/culling, local BA.
+
+TPU-native equivalent of src/LocalMapping.cc (Run :56, ProcessNewKeyFrame
+:233, MapPointCulling :351, CreateNewMapPoints :650, SearchInNeighbors :833,
+KeyFrameCulling :383) — run synchronously after keyframe insertion instead
+of on a 3 ms-polling thread; the map's version counter gives tracking the
+same bMapUpdated signal the reference derives from change indices.
+
+Heavy steps (triangulation, fuse matching, windowed BA) are jitted device
+programs; window selection and bookkeeping are host-side numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import models as cm
+from ..map.map_state import MapState
+from ..ops import matching
+from ..solvers.local_ba import BAProblem, local_ba
+from .triangulation import triangulate_pair
+
+
+@dataclasses.dataclass
+class LocalMappingConfig:
+    window_size: int = 8          # optimized covisible KFs (LocalWindowSize)
+    fixed_ring: int = 8           # pose-fixed first-ring cap
+    max_new_points: int = 300     # per-KF new landmark cap (close stereo)
+    close_depth: float = 4.0      # depth gate for direct stereo creation
+                                  # (~35 x baseline, Tracking mThDepth)
+    triangulate_neighbors: int = 4  # KF pairs tried per new KF
+    cull_min_found_ratio: float = 0.25
+    cull_obs_window: int = 3      # KFs within which a LM must earn >=3 obs
+    ba_kf_pad: int = 4            # pad K to a multiple (compile reuse)
+    ba_lm_pad: int = 1024         # pad M to a multiple
+    kf_cull_redundancy: float = 0.9
+
+
+# A single jitted BA entry per padded shape; the pad sizes keep the number
+# of compiled variants small across a run.
+@functools.partial(jax.jit, static_argnames=("stage_iters",))
+def _ba_jit(prob: BAProblem, cam: cm.Camera, bf, stage_iters=(5, 10)):
+    return local_ba(prob, cam, bf, stage_iters=stage_iters)
+
+
+class LocalMapper:
+    def __init__(self, cam: cm.Camera, bf: float, map_state: MapState,
+                 cfg: LocalMappingConfig | None = None):
+        self.cam = cam
+        self.bf = float(bf)
+        self.map = map_state
+        self.cfg = cfg or LocalMappingConfig()
+        self.recent_lms: list[tuple[int, np.ndarray]] = []  # (kf, lm_ids)
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, k: int):
+        """Full LocalMapping::Run body for one new keyframe."""
+        new_ids = self.create_close_landmarks(k)
+        tri_ids = self.triangulate_new_landmarks(k)
+        new_ids = np.concatenate([new_ids, tri_ids])
+        if new_ids.size:
+            self.recent_lms.append((k, new_ids))
+        self.cull_landmarks(k)
+        self.run_local_ba(k)
+
+    # ------------------------------------------------------------------
+
+    def create_close_landmarks(self, k: int) -> np.ndarray:
+        """Create landmarks from stereo/RGB-D depth for untracked keypoints
+        (CreateNewKeyFrame close-MP creation, Tracking.cc:2196-2294), with a
+        fuse-first pass (ORBmatcher::Fuse semantics): an unassociated
+        keypoint that matches an existing local landmark adopts it instead
+        of spawning a duplicate — duplicates otherwise compete in matching
+        and corrode the map."""
+        m = self.map
+        depth = m.kf_depth[k]
+        self._fuse_into_keyframe(k)
+        unassoc = (m.kf_lm_idx[k] < 0) & m.kf_kp_valid[k] & (depth > 0)
+        kp_idx = np.nonzero(unassoc)[0]
+        if kp_idx.size == 0:
+            return np.zeros(0, np.int64)
+        # Reference semantics (Tracking::CreateNewKeyFrame): take close
+        # points (z < thDepth) in depth order; if fewer than 100, keep
+        # adding far ones by depth — far coverage beats no coverage when
+        # the view turns toward distant structure.
+        order = np.argsort(depth[kp_idx], kind="stable")
+        kp_idx = kp_idx[order]
+        n_close = int((depth[kp_idx] < self.cfg.close_depth).sum())
+        n_take = min(max(n_close, 100), self.cfg.max_new_points)
+        kp_idx = kp_idx[:n_take]
+        uv = m.kf_uv[k, kp_idx]
+        z = depth[kp_idx]
+        rays = np.asarray(cm.unproject(self.cam, jnp.asarray(uv)))
+        pc = rays * z[:, None]
+        Rwc = m.kf_Rcw[k].T
+        pw = pc @ Rwc.T + (-Rwc @ m.kf_tcw[k])
+        lm_ids = m.add_landmarks(
+            pw.astype(np.float32), m.kf_desc[k, kp_idx], first_kf=k)
+        m.kf_lm_idx[k, kp_idx] = lm_ids
+        np.add.at(m.lm_n_obs, lm_ids, 1)
+        return lm_ids
+
+    def _fuse_into_keyframe(self, k: int):
+        """Associate existing covisible landmarks with this KF's
+        still-unmatched keypoints (SearchInNeighbors direction 1)."""
+        m = self.map
+        neigh, _ = m.covisible_keyframes(k, min_shared=5)
+        kfs = np.concatenate([[k], neigh[:10]])
+        lm_ids = m.landmarks_in_keyframes(kfs)
+        lm_ids = lm_ids[m.lm_valid[lm_ids]]
+        already = set(int(x) for x in m.kf_lm_idx[k] if x >= 0)
+        lm_ids = np.asarray([l for l in lm_ids if int(l) not in already],
+                            dtype=np.int64)
+        if lm_ids.size == 0:
+            return
+        free_kp = (m.kf_lm_idx[k] < 0) & m.kf_kp_valid[k]
+        pc = m.lm_pw[lm_ids] @ m.kf_Rcw[k].T + m.kf_tcw[k]
+        uv_proj = np.array(cm.project(self.cam, jnp.asarray(pc)))
+        vis = (pc[:, 2] > 0.1) \
+            & np.array(cm.in_image(self.cam, jnp.asarray(uv_proj), 1.0))
+        idx, dist = matching.fuse_candidates(
+            jnp.asarray(uv_proj), jnp.zeros(len(lm_ids), jnp.int32),
+            jnp.asarray(m.lm_desc[lm_ids]), jnp.asarray(vis),
+            jnp.asarray(m.kf_uv[k]), jnp.asarray(m.kf_level[k]),
+            jnp.asarray(m.kf_desc[k]), jnp.asarray(free_kp),
+            radius=4.0,
+            level_scales=jnp.asarray(
+                m.level_scales.astype(np.float32)),
+        )
+        idx = np.asarray(idx)
+        ok = idx >= 0
+        m.kf_lm_idx[k, idx[ok]] = lm_ids[ok]
+        np.add.at(m.lm_n_obs, lm_ids[ok], 1)
+
+    def triangulate_new_landmarks(self, k: int) -> np.ndarray:
+        """Two-view triangulation vs covisible neighbours
+        (CreateNewMapPoints, LocalMapping.cc:650): far structure enters the
+        map only once enough baseline has accumulated — the parallax gate
+        rejects pairs whose baseline/depth ratio is hopeless, which is what
+        keeps far-landmark error bounded (single-view stereo depth at range
+        is quadratically worse)."""
+        m = self.map
+        neigh, _ = m.covisible_keyframes(k, min_shared=5)
+        neigh = neigh[: self.cfg.triangulate_neighbors]
+        created = []
+        scales = jnp.asarray(m.level_scales.astype(np.float32))
+        is2 = jnp.asarray(m.inv_sigma2)
+        for n in neigh:
+            free_k = (m.kf_lm_idx[k] < 0) & m.kf_kp_valid[k]
+            free_n = (m.kf_lm_idx[n] < 0) & m.kf_kp_valid[n]
+            if free_k.sum() < 10 or free_n.sum() < 10:
+                continue
+            res = triangulate_pair(
+                jnp.asarray(m.kf_Rcw[k]), jnp.asarray(m.kf_tcw[k]),
+                jnp.asarray(m.kf_uv[k]), jnp.asarray(m.kf_level[k]),
+                jnp.asarray(m.kf_desc[k]), jnp.asarray(free_k),
+                jnp.asarray(m.kf_Rcw[n]), jnp.asarray(m.kf_tcw[n]),
+                jnp.asarray(m.kf_uv[n]), jnp.asarray(m.kf_level[n]),
+                jnp.asarray(m.kf_desc[n]), jnp.asarray(free_n),
+                is2, scales, self.cam,
+            )
+            good = np.asarray(res.good)
+            kp1 = np.nonzero(good)[0]
+            if kp1.size == 0:
+                continue
+            kp2 = np.asarray(res.kp2)[kp1]
+            pw = np.asarray(res.pw)[kp1]
+            ids = m.add_landmarks(pw.astype(np.float32),
+                                  m.kf_desc[k, kp1], first_kf=k)
+            m.kf_lm_idx[k, kp1] = ids
+            m.kf_lm_idx[int(n), kp2] = ids
+            np.add.at(m.lm_n_obs, ids, 2)
+            created.append(ids)
+        if not created:
+            return np.zeros(0, np.int64)
+        return np.concatenate(created)
+
+    # ------------------------------------------------------------------
+
+    def cull_landmarks(self, k: int):
+        """MapPointCulling (LocalMapping.cc:351): drop recently created
+        landmarks that failed to earn observations."""
+        m = self.map
+        keep = []
+        drop = []
+        for kf_born, ids in self.recent_lms:
+            age = k - kf_born
+            ids = ids[m.lm_valid[ids]]
+            if ids.size == 0:
+                continue
+            if age >= self.cfg.cull_obs_window:
+                bad = ids[m.lm_n_obs[ids] < 3]
+                drop.append(bad)
+                # survivors graduate out of the probation list
+            else:
+                keep.append((kf_born, ids))
+        self.recent_lms = keep
+        if drop:
+            bad = np.concatenate(drop)
+            if bad.size:
+                m.erase_landmarks(bad)
+        # Found-ratio cull (MapPoint::GetFoundRatio < 0.25): landmarks the
+        # tracker keeps projecting but failing to match are bad geometry.
+        seen = m.lm_valid & (m.lm_visible >= 8)
+        ratio = m.lm_found / np.maximum(m.lm_visible, 1)
+        bad_ratio = np.nonzero(seen & (ratio < self.cfg.cull_min_found_ratio))[0]
+        if bad_ratio.size:
+            m.erase_landmarks(bad_ratio)
+
+    # ------------------------------------------------------------------
+
+    def run_local_ba(self, k: int):
+        """Windowed BA around keyframe k (LocalBundleAdjustment)."""
+        m = self.map
+        cfg = self.cfg
+        neigh, _ = m.covisible_keyframes(k, min_shared=5)
+        window = np.concatenate([[k], neigh[: cfg.window_size - 1]])
+        window = np.unique(window)
+        if m.n_keyframes() <= 2:
+            return
+        lm_ids = m.landmarks_in_keyframes(window)
+        lm_ids = lm_ids[m.lm_valid[lm_ids]]
+        if lm_ids.size < 10:
+            return
+        # fixed ring: KFs observing window landmarks but not in window.
+        obs_any = np.isin(m.kf_lm_idx, lm_ids) & (m.kf_lm_idx >= 0)
+        ring = np.nonzero(obs_any.any(axis=1) & m.kf_valid)[0]
+        ring = np.setdiff1d(ring, window)[: cfg.fixed_ring]
+        # The earliest window KF is fixed if there is no ring (gauge).
+        if ring.size == 0:
+            ring = window[:1]
+            window = window[1:]
+            if window.size == 0:
+                return
+
+        prob_np, kf_order, lm_ids = m.build_ba_problem(window, ring, lm_ids)
+        prob = self._pad_problem(prob_np)
+        res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32))
+        K, M = len(kf_order), len(lm_ids)
+        m.apply_ba_result(
+            kf_order, lm_ids,
+            np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
+            np.asarray(res.pw)[:M], n_free=len(window),
+        )
+        # Outlier observation removal (reference erases edges post-BA).
+        inl = np.asarray(res.obs_inlier)[:M]
+        obs_kf, obs_kp = m.landmark_observations(lm_ids)
+        local_of = {int(kf): i for i, kf in enumerate(kf_order)}
+        for mm in range(M):
+            for o in range(obs_kf.shape[1]):
+                kf, kp = obs_kf[mm, o], obs_kp[mm, o]
+                if kf < 0 or int(kf) not in local_of:
+                    continue
+                if not inl[mm, o]:
+                    m.kf_lm_idx[kf, kp] = -1
+                    m.lm_n_obs[lm_ids[mm]] -= 1
+
+    # ------------------------------------------------------------------
+
+    def _pad_problem(self, p: dict) -> BAProblem:
+        cfg = self.cfg
+        K = p["Rcw"].shape[0]
+        M = p["pw"].shape[0]
+        Kp = -(-K // cfg.ba_kf_pad) * cfg.ba_kf_pad
+        Mp = -(-M // cfg.ba_lm_pad) * cfg.ba_lm_pad
+        O = p["obs_kf"].shape[1]
+
+        def pad(a, n, fill=0):
+            w = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, w, constant_values=fill)
+
+        Rcw = pad(p["Rcw"], Kp)
+        Rcw[K:] = np.eye(3, dtype=np.float32)
+        return BAProblem(
+            Rcw=jnp.asarray(Rcw),
+            tcw=jnp.asarray(pad(p["tcw"], Kp)),
+            fixed=jnp.asarray(pad(p["fixed"], Kp, True)),
+            pw=jnp.asarray(pad(p["pw"], Mp)),
+            lm_valid=jnp.asarray(pad(p["lm_valid"], Mp, False)),
+            obs_kf=jnp.asarray(pad(p["obs_kf"], Mp, -1)),
+            obs_uv=jnp.asarray(pad(p["obs_uv"], Mp)),
+            obs_ur=jnp.asarray(pad(p["obs_ur"], Mp, -1.0)),
+            obs_inv_sigma2=jnp.asarray(pad(p["obs_inv_sigma2"], Mp, 1.0)),
+            obs_valid=jnp.asarray(pad(p["obs_valid"], Mp, False)),
+        )
+
+    # ------------------------------------------------------------------
+
+    def cull_keyframes(self, k: int):
+        """KeyFrameCulling (LocalMapping.cc:383): erase window KFs whose
+        landmarks are >=90% observed by >=3 other KFs at finer/equal scale
+        (scale condition simplified to observation count here)."""
+        m = self.map
+        neigh, _ = m.covisible_keyframes(k, min_shared=15)
+        for kf in neigh:
+            if kf == 0 or kf == k:
+                continue
+            lms = m.kf_lm_idx[kf]
+            lms = lms[lms >= 0]
+            if lms.size == 0:
+                m.erase_keyframe(int(kf))
+                continue
+            redundant = (m.lm_n_obs[lms] >= 4).mean()
+            if redundant > self.cfg.kf_cull_redundancy:
+                m.erase_keyframe(int(kf))

@@ -1,0 +1,331 @@
+"""Tracking: per-frame pose estimation state machine.
+
+TPU-native redesign of src/Tracking.cc (Track :950, TrackWithMotionModel
+:1844, TrackReferenceKeyFrame :1722, TrackLocalMap :1930, NeedNewKeyFrame
+:2010, StereoInitialization :1391, Relocalization :2529): the host runs the
+(tiny) state machine and window selection; every per-frame heavy step —
+projecting the local map, windowed Hamming association, motion-only BA —
+is a single jitted device program over fixed-capacity landmark slabs.
+
+The constant-velocity model, the two-stage track (frame-to-map coarse
+association at the predicted pose, then TrackLocalMap-style re-association
++ re-optimization), chi2 gating and keyframe decision thresholds follow the
+reference's semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import models as cm
+from ..map.map_state import MapState
+from ..ops import matching
+from ..solvers.motion_ba import PoseObs, pose_optimization
+from .frame import Frame
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+    ODOMOK = 3      # odometry dead-reckoning bridge (reference ODOMOK)
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    local_landmark_cap: int = 4096   # device slab for the local map
+    match_radius_coarse: float = 15.0
+    match_radius_fine: float = 6.0
+    min_matches_track: int = 12
+    min_inliers_ok: int = 25
+    kf_tracked_ratio: float = 0.9    # NeedNewKeyFrame 90% rule
+    kf_min_interval: int = 1         # frames between KFs (min)
+    kf_max_interval: int = 4         # force KF after this many frames
+    lost_retry_radius: float = 40.0  # wide re-search before giving up
+    th_depth: float = 4.0            # mThDepth: init/creation depth gate
+    max_level_tolerance: int = 8     # disables level gating when large
+
+
+class TrackKernelResult(NamedTuple):
+    Rcw: jax.Array
+    tcw: jax.Array
+    lm_match: jax.Array     # [LC] keypoint idx per local landmark (-1)
+    inlier: jax.Array       # [LC] inlier flags after pose opt
+    n_inliers: jax.Array
+    in_frustum: jax.Array   # [LC] landmark projected into the image
+
+
+@jax.jit
+def _track_kernel(
+    Rcw0, tcw0,
+    lm_pw, lm_desc, lm_level, lm_valid,
+    frame: Frame,
+    inv_sigma2_tab,
+    level_scales,
+    radius_coarse, radius_fine,
+    bf,
+    cam: cm.Camera,
+):
+    """Two-stage frame tracking against a local-landmark slab.
+
+    Stage 1: project at predicted pose, wide-radius association, pose opt.
+    Stage 2: re-project at refined pose, tight-radius association, pose opt.
+    (TrackWithMotionModel + TrackLocalMap collapsed into one program.)
+    """
+    def associate_and_optimize(Rcw, tcw, radius, level_tol,
+                               max_hamming, ratio):
+        pc = jnp.einsum("ij,nj->ni", Rcw, lm_pw) + tcw
+        uv_proj = cm.project(cam, pc)
+        vis = lm_valid & (pc[:, 2] > 0.1) & cm.in_image(cam, uv_proj, 1.0)
+        del pc
+        idx, dist = matching.search_by_projection(
+            uv_proj, lm_level, lm_desc, vis,
+            frame.uv, frame.level, frame.desc, frame.valid,
+            radius=radius, level_scales=level_scales,
+            max_dist=max_hamming, ratio=ratio,
+            level_tolerance=level_tol,
+        )
+        matched = idx >= 0
+        kp = jnp.clip(idx, 0)
+        obs = PoseObs(
+            pw=lm_pw,
+            uv=frame.uv[kp],
+            ur=frame.ur[kp],
+            inv_sigma2=inv_sigma2_tab[jnp.clip(frame.level[kp], 0)],
+            valid=matched,
+        )
+        res = pose_optimization(Rcw, tcw, obs, cam, bf)
+        return res, idx, vis
+
+    # Stricter gates than the reference's TH_HIGH: prediction-consistent
+    # wrong matches inside the search window create a false pose minimum
+    # along the weakly-observable sightline direction (measured: ~20 wrong
+    # matches displace the optimum by ~8 cm), so the Hamming/ratio bar is
+    # set high and stage 2 re-searches tightly at the refined pose.
+    res1, idx1, _ = associate_and_optimize(Rcw0, tcw0, radius_coarse, 8,
+                                           75, 0.8)
+    res2, idx2, vis2 = associate_and_optimize(res1.Rcw, res1.tcw,
+                                              radius_fine, 8, 50, 0.8)
+    return TrackKernelResult(
+        Rcw=res2.Rcw, tcw=res2.tcw, lm_match=idx2,
+        inlier=res2.inliers, n_inliers=res2.n_inliers, in_frustum=vis2,
+    )
+
+
+class Tracker:
+    """Host-side tracking orchestrator."""
+
+    def __init__(self, cam: cm.Camera, bf: float, map_state: MapState,
+                 cfg: Optional[TrackerConfig] = None):
+        self.cam = cam
+        self.bf = float(bf)
+        self.map = map_state
+        self.cfg = cfg or TrackerConfig()
+        self.state = TrackState.NOT_INITIALIZED
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        self.velocity = None         # (dR, dt): Tcw_k ∘ Tcw_{k-1}^-1
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.ref_tracked = 0         # inlier count at last KF creation
+        self.last_result: Optional[TrackKernelResult] = None
+        self.last_lm_ids: Optional[np.ndarray] = None
+        self.last_new_kf: Optional[int] = None  # KF created this frame
+        # trajectory log: (timestamp, Rcw, tcw, state)
+        self.trajectory = []
+
+    # ------------------------------------------------------------------
+
+    def _local_landmark_slab(self):
+        """Select local-map landmarks (covisibility of last KF + its
+        neighbours, Tracking::UpdateLocalPoints) into a fixed slab."""
+        cap = self.cfg.local_landmark_cap
+        if self.last_kf_id >= 0:
+            neigh, _ = self.map.covisible_keyframes(self.last_kf_id,
+                                                    min_shared=5)
+            kfs = np.concatenate([[self.last_kf_id], neigh[:20]])
+            lm_ids = self.map.landmarks_in_keyframes(kfs)
+        else:
+            lm_ids = np.nonzero(self.map.lm_valid)[0]
+        lm_ids = lm_ids[self.map.lm_valid[lm_ids]][:cap]
+        M = len(lm_ids)
+        pw = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        level = np.zeros(cap, np.int32)
+        valid = np.zeros(cap, bool)
+        pw[:M] = self.map.lm_pw[lm_ids]
+        desc[:M] = self.map.lm_desc[lm_ids]
+        valid[:M] = True
+        ids = np.full(cap, -1, np.int64)
+        ids[:M] = lm_ids
+        return pw, desc, level, valid, ids
+
+    def rebase_to_keyframe(self, k: int):
+        """Re-read the current pose from the (BA-corrected) keyframe just
+        created from this frame — the reference's bMapUpdated rebase
+        (Tracking.cc recomputes last-frame pose from the corrected ref KF
+        after LocalMapping/GBA moves the map)."""
+        self.Rcw = self.map.kf_Rcw[k].copy()
+        self.tcw = self.map.kf_tcw[k].copy()
+
+    def _predict_pose(self):
+        if self.velocity is None:
+            return self.Rcw, self.tcw
+        dR, dt = self.velocity
+        return dR @ self.Rcw, dR @ self.tcw + dt
+
+    # ------------------------------------------------------------------
+
+    def track(self, frame: Frame) -> TrackState:
+        """Main per-frame entry (Tracking::Track)."""
+        self.last_new_kf = None
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._stereo_initialization(frame)
+        else:
+            self._track_frame(frame)
+        self.trajectory.append(
+            (float(frame.timestamp), self.Rcw.copy(), self.tcw.copy(),
+             self.state.name)
+        )
+        self.frame_id += 1
+        return self.state
+
+    # ------------------------------------------------------------------
+
+    def _stereo_initialization(self, frame: Frame):
+        """Tracking::StereoInitialization — need >= 100 stereo-depth kps."""
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        # Depth-gated like the reference (z < mThDepth): far single-view
+        # stereo depth is quadratically noisy and poisons the initial map.
+        good = valid & (depth > 0) & (depth < self.cfg.th_depth)
+        if good.sum() < 100:
+            good = valid & (depth > 0) & (depth < 2.0 * self.cfg.th_depth)
+        if good.sum() < 100:
+            return
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        kp_idx = np.nonzero(good)[0]
+        uv = np.asarray(frame.uv)[kp_idx]
+        z = depth[kp_idx]
+        rays = np.asarray(cm.unproject(self.cam, jnp.asarray(uv)))
+        pw = rays * z[:, None]
+        lm_ids = self.map.add_landmarks(
+            pw.astype(np.float32),
+            np.asarray(frame.desc)[kp_idx], first_kf=0)
+        lm_idx_full = np.full(valid.shape[0], -1, np.int32)
+        lm_idx_full[kp_idx] = lm_ids
+        k = self._insert_keyframe(frame, lm_idx_full)
+        self.last_kf_id = k
+        self.last_new_kf = k
+        self.ref_tracked = len(kp_idx)
+        self.state = TrackState.OK
+
+    # ------------------------------------------------------------------
+
+    def _track_frame(self, frame: Frame):
+        pw, desc, level, valid, lm_ids = self._local_landmark_slab()
+        R0, t0 = self._predict_pose()
+        res = _track_kernel(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
+            jnp.asarray(valid),
+            frame,
+            jnp.asarray(self.map.inv_sigma2),
+            jnp.asarray(self.map.level_scales.astype(np.float32)),
+            jnp.asarray(self.cfg.match_radius_coarse, jnp.float32),
+            jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
+            jnp.asarray(self.bf, jnp.float32),
+            self.cam,
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < self.cfg.min_inliers_ok:
+            # Wide-radius retry from the last known-good pose (recently-lost
+            # recovery, Tracking.h time_recently_lost semantics).
+            res = _track_kernel(
+                jnp.asarray(self.Rcw), jnp.asarray(self.tcw),
+                jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
+                jnp.asarray(valid),
+                frame,
+                jnp.asarray(self.map.inv_sigma2),
+                jnp.asarray(self.map.level_scales.astype(np.float32)),
+                jnp.asarray(self.cfg.lost_retry_radius, jnp.float32),
+                jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
+                jnp.asarray(self.bf, jnp.float32),
+                self.cam,
+            )
+            n_inl = int(res.n_inliers)
+        if n_inl < self.cfg.min_inliers_ok:
+            self.state = TrackState.LOST
+            self.velocity = None
+            return
+        R_prev, t_prev = self.Rcw.copy(), self.tcw.copy()
+        self.Rcw = np.asarray(res.Rcw)
+        self.tcw = np.asarray(res.tcw)
+        # velocity: Tcw_k ∘ Twc_{k-1}
+        dR = self.Rcw @ R_prev.T
+        dt = self.tcw - dR @ t_prev
+        self.velocity = (dR.astype(np.float32), dt.astype(np.float32))
+        self.state = TrackState.OK
+        self.last_result = res
+        self.last_lm_ids = lm_ids
+        self.frames_since_kf += 1
+        # found/visible bookkeeping (MapPoint::IncreaseVisible/Found): the
+        # ratio cull kills landmarks that keep failing association (bad
+        # depth / duplicates).
+        vis_ids = lm_ids[np.asarray(res.in_frustum) & (lm_ids >= 0)]
+        fnd_ids = lm_ids[np.asarray(res.inlier) & (lm_ids >= 0)]
+        np.add.at(self.map.lm_visible, vis_ids, 1)
+        np.add.at(self.map.lm_found, fnd_ids, 1)
+
+        if self._need_new_keyframe(n_inl):
+            lm_idx_full = self._frame_landmark_assoc(res, lm_ids,
+                                                     np.asarray(frame.valid))
+            k = self._insert_keyframe(frame, lm_idx_full)
+            self.last_kf_id = k
+            self.last_new_kf = k
+            self.ref_tracked = n_inl
+            self.frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+
+    def _frame_landmark_assoc(self, res: TrackKernelResult,
+                              lm_ids: np.ndarray, kp_valid: np.ndarray):
+        """[N]-sized landmark id per keypoint from the track result."""
+        lm_match = np.asarray(res.lm_match)     # [LC] -> kp idx
+        inlier = np.asarray(res.inlier)
+        n_kp = kp_valid.shape[0]
+        out = np.full(n_kp, -1, np.int32)
+        ok = (lm_match >= 0) & inlier & (lm_ids >= 0)
+        out[lm_match[ok]] = lm_ids[ok]
+        return out
+
+    def _need_new_keyframe(self, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:2010) simplified: 90% rule +
+        min/max frame intervals."""
+        if self.frames_since_kf < self.cfg.kf_min_interval:
+            return False
+        if self.frames_since_kf >= self.cfg.kf_max_interval:
+            return True
+        return n_inliers < self.cfg.kf_tracked_ratio * max(self.ref_tracked, 1)
+
+    def _insert_keyframe(self, frame: Frame, lm_idx_full: np.ndarray) -> int:
+        f_uv = np.asarray(frame.uv)
+        n = f_uv.shape[0]
+        k = self.map.add_keyframe(
+            Rcw=self.Rcw, tcw=self.tcw,
+            timestamp=float(frame.timestamp), frame_id=self.frame_id,
+            uv=f_uv, level=np.asarray(frame.level),
+            desc=np.asarray(frame.desc), ur=np.asarray(frame.ur),
+            depth=np.asarray(frame.depth),
+            kp_valid=np.asarray(frame.valid), lm_idx=lm_idx_full,
+        )
+        return k

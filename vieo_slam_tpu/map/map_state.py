@@ -1,0 +1,330 @@
+"""Sparse map state: keyframes, landmarks, observations, covisibility.
+
+TPU-native redesign of the reference's L3 map model (src/{Map, KeyFrame,
+MapPoint}.cc, include/Map.h:82 mMutexMapUpdate): instead of a mutexed
+pointer graph, the map is a struct-of-arrays with fixed capacities and
+validity masks, owned by the host orchestrator.  Pipeline stages read a
+consistent snapshot, run jitted device programs, and write results back;
+a monotonically increasing `version` counter replaces the reference's
+`InformNewChange/GetLastChangeIdx` change-detection (Map.h:29-36) and the
+mutex conventions documented in SURVEY.md §5.
+
+Numpy is used for bookkeeping (insert/cull/covisibility) — O(K·N) counter
+updates that are latency- not throughput-bound — while all heavy math
+(matching, BA) happens in jitted device programs built from these arrays.
+
+Observations are stored frame-major (`kf_lm_idx[k, i]` = landmark id of
+keypoint i in keyframe k, -1 if none) — the natural output of tracking —
+and regrouped landmark-major ([L, O] lists) on demand when building BA
+problems (solvers/local_ba.BAProblem).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MapConfig:
+    max_keyframes: int = 512
+    max_landmarks: int = 20000
+    max_kp: int = 1200            # keypoint capacity per keyframe
+    max_obs: int = 12             # obs per landmark used in BA
+    n_levels: int = 8
+    scale_factor: float = 1.2
+
+
+class MapState:
+    """Global sparse map (Map + KeyFrame + MapPoint storage)."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        K, L, N = cfg.max_keyframes, cfg.max_landmarks, cfg.max_kp
+        self.version = 0                 # bumped on every structural change
+        self.big_change_idx = 0          # loop/GBA-scale changes
+
+        # --- keyframes ---
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_Rcw = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_tcw = np.zeros((K, 3), np.float32)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+
+        # NavState (VIO): world-from-body + velocity + biases.
+        self.kf_Rwb = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_pwb = np.zeros((K, 3), np.float32)
+        self.kf_vwb = np.zeros((K, 3), np.float32)
+        self.kf_bg = np.zeros((K, 3), np.float32)
+        self.kf_ba = np.zeros((K, 3), np.float32)
+
+        # features
+        self.kf_uv = np.zeros((K, N, 2), np.float32)
+        self.kf_level = np.zeros((K, N), np.int32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_ur = np.full((K, N), -1.0, np.float32)   # stereo right-u
+        self.kf_depth = np.full((K, N), -1.0, np.float32)
+        self.kf_kp_valid = np.zeros((K, N), bool)
+        self.kf_lm_idx = np.full((K, N), -1, np.int32)
+
+        # temporal chain (prev/next kf id), loop edges
+        self.kf_prev = np.full(K, -1, np.int32)
+        self.kf_next = np.full(K, -1, np.int32)
+
+        # --- landmarks ---
+        self.lm_valid = np.zeros(L, bool)
+        self.lm_pw = np.zeros((L, 3), np.float32)
+        self.lm_desc = np.zeros((L, 8), np.uint32)
+        self.lm_normal = np.zeros((L, 3), np.float32)
+        self.lm_min_dist = np.zeros(L, np.float32)
+        self.lm_max_dist = np.zeros(L, np.float32)
+        self.lm_n_obs = np.zeros(L, np.int32)
+        self.lm_visible = np.zeros(L, np.int32)   # found/visible ratios
+        self.lm_found = np.zeros(L, np.int32)
+        self.lm_first_kf = np.full(L, -1, np.int32)
+        self.lm_ref_kf = np.full(L, -1, np.int32)
+
+        self._next_kf = 0
+        self._next_lm = 0
+
+    # ------------------------------------------------------------------
+    # scale info
+    # ------------------------------------------------------------------
+
+    @property
+    def level_scales(self) -> np.ndarray:
+        return self.cfg.scale_factor ** np.arange(self.cfg.n_levels)
+
+    @property
+    def inv_sigma2(self) -> np.ndarray:
+        """Per-level information weight 1/scale^2 (Frame ScalePyramidInfo)."""
+        return (1.0 / self.level_scales ** 2).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def keyframe_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    def add_keyframe(
+        self, *, Rcw, tcw, timestamp, frame_id,
+        uv, level, desc, ur, depth, kp_valid, lm_idx,
+        navstate=None,
+    ) -> int:
+        k = self._next_kf
+        if k >= self.cfg.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        self._next_kf += 1
+        n = uv.shape[0]
+        self.kf_valid[k] = True
+        self.kf_Rcw[k] = Rcw
+        self.kf_tcw[k] = tcw
+        self.kf_timestamp[k] = timestamp
+        self.kf_frame_id[k] = frame_id
+        self.kf_uv[k, :n] = uv
+        self.kf_level[k, :n] = level
+        self.kf_desc[k, :n] = desc
+        self.kf_ur[k, :n] = ur
+        self.kf_depth[k, :n] = depth
+        self.kf_kp_valid[k, :n] = kp_valid
+        self.kf_lm_idx[k, :n] = np.where(kp_valid, lm_idx, -1)
+        if navstate is not None:
+            R, p, v, bg, ba = navstate
+            self.kf_Rwb[k], self.kf_pwb[k] = R, p
+            self.kf_vwb[k], self.kf_bg[k], self.kf_ba[k] = v, bg, ba
+        # temporal chain
+        prev = k - 1
+        while prev >= 0 and not self.kf_valid[prev]:
+            prev -= 1
+        if prev >= 0:
+            self.kf_prev[k] = prev
+            self.kf_next[prev] = k
+        # register observations on landmarks
+        obs_lms = self.kf_lm_idx[k]
+        good = obs_lms >= 0
+        np.add.at(self.lm_n_obs, obs_lms[good], 1)
+        self.version += 1
+        return k
+
+    def erase_keyframe(self, k: int):
+        """SetBadFlag equivalent: drop KF, decrement obs, relink chain."""
+        assert self.kf_valid[k]
+        lms = self.kf_lm_idx[k]
+        good = lms >= 0
+        np.add.at(self.lm_n_obs, lms[good], -1)
+        self.kf_lm_idx[k] = -1
+        self.kf_kp_valid[k] = False
+        self.kf_valid[k] = False
+        p, nx = self.kf_prev[k], self.kf_next[k]
+        if p >= 0:
+            self.kf_next[p] = nx
+        if nx >= 0:
+            self.kf_prev[nx] = p
+        self.version += 1
+
+    # ------------------------------------------------------------------
+    # landmarks
+    # ------------------------------------------------------------------
+
+    def n_landmarks(self) -> int:
+        return int(self.lm_valid.sum())
+
+    def add_landmarks(self, pw, desc, first_kf, normals=None,
+                      min_dist=None, max_dist=None) -> np.ndarray:
+        """Bulk-insert landmarks; returns their ids."""
+        m = pw.shape[0]
+        l0 = self._next_lm
+        if l0 + m > self.cfg.max_landmarks:
+            raise RuntimeError("landmark capacity exceeded")
+        ids = np.arange(l0, l0 + m)
+        self._next_lm += m
+        self.lm_valid[ids] = True
+        self.lm_pw[ids] = pw
+        self.lm_desc[ids] = desc
+        self.lm_first_kf[ids] = first_kf
+        self.lm_ref_kf[ids] = first_kf
+        if normals is not None:
+            self.lm_normal[ids] = normals
+        if min_dist is not None:
+            self.lm_min_dist[ids] = min_dist
+            self.lm_max_dist[ids] = max_dist
+        self.version += 1
+        return ids
+
+    def erase_landmarks(self, ids: np.ndarray):
+        ids = np.asarray(ids)
+        if ids.size == 0:
+            return
+        self.lm_valid[ids] = False
+        # remove every observation pointing at them
+        mask = np.isin(self.kf_lm_idx, ids)
+        self.kf_lm_idx[mask] = -1
+        self.lm_n_obs[ids] = 0
+        self.version += 1
+
+    def replace_landmark(self, old: int, new: int):
+        """MapPoint::Replace — redirect observations of `old` to `new`."""
+        mask = self.kf_lm_idx == old
+        # where the target kf already observes `new`, just drop.
+        self.kf_lm_idx[mask] = new
+        self.lm_n_obs[new] += int(mask.sum())
+        self.lm_valid[old] = False
+        self.lm_n_obs[old] = 0
+        self.lm_found[new] += self.lm_found[old]
+        self.lm_visible[new] += self.lm_visible[old]
+        self.version += 1
+
+    # ------------------------------------------------------------------
+    # observation views
+    # ------------------------------------------------------------------
+
+    def landmark_observations(self, lm_ids: np.ndarray, max_obs=None):
+        """Group observations landmark-major.
+
+        Returns (obs_kf [M, O], obs_kp [M, O]) int32 with -1 padding, where
+        M = len(lm_ids), O = max_obs (cfg.max_obs default).
+        """
+        O = max_obs or self.cfg.max_obs
+        M = len(lm_ids)
+        obs_kf = np.full((M, O), -1, np.int32)
+        obs_kp = np.full((M, O), -1, np.int32)
+        pos = {int(l): i for i, l in enumerate(lm_ids)}
+        counts = np.zeros(M, np.int32)
+        for k in self.keyframe_ids():
+            lms = self.kf_lm_idx[k]
+            kps = np.nonzero(lms >= 0)[0]
+            for i in kps:
+                j = pos.get(int(lms[i]))
+                if j is None:
+                    continue
+                c = counts[j]
+                if c < O:
+                    obs_kf[j, c] = k
+                    obs_kp[j, c] = i
+                    counts[j] = c + 1
+        return obs_kf, obs_kp
+
+    def covisible_keyframes(self, k: int, min_shared: int = 15):
+        """Weighted covisibility neighbours of keyframe k
+        (KeyFrame::UpdateConnections semantics: >= 15 shared landmarks).
+
+        Returns (kf_ids sorted by weight desc, weights)."""
+        lms = self.kf_lm_idx[k]
+        lms = lms[lms >= 0]
+        if lms.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        shared = np.isin(self.kf_lm_idx, lms) & (self.kf_lm_idx >= 0)
+        counts = shared.sum(axis=1)
+        counts[k] = 0
+        counts[~self.kf_valid] = 0
+        ids = np.nonzero(counts >= min_shared)[0]
+        if ids.size == 0 and counts.max() > 0:  # keep the best one anyway
+            ids = np.asarray([counts.argmax()])
+        order = np.argsort(-counts[ids], kind="stable")
+        return ids[order], counts[ids[order]]
+
+    def landmarks_in_keyframes(self, kf_ids) -> np.ndarray:
+        lms = np.unique(self.kf_lm_idx[np.asarray(kf_ids, int)])
+        return lms[(lms >= 0)]
+
+    # ------------------------------------------------------------------
+    # BA bridges
+    # ------------------------------------------------------------------
+
+    def build_ba_problem(self, window_kfs, fixed_kfs, lm_ids):
+        """Assemble the padded arrays for solvers.local_ba.BAProblem.
+
+        window_kfs: optimized keyframes; fixed_kfs: pose-fixed ring.
+        Keyframe indices in the problem are [window..., fixed...].
+        Returns (problem_dict, kf_order, lm_ids) — caller wraps into
+        jnp arrays to keep this module device-free.
+        """
+        kf_order = np.concatenate([np.asarray(window_kfs, int),
+                                   np.asarray(fixed_kfs, int)])
+        K = len(kf_order)
+        local_of = {int(k): i for i, k in enumerate(kf_order)}
+        obs_kf, obs_kp = self.landmark_observations(lm_ids)
+        M, O = obs_kf.shape
+        obs_uv = np.zeros((M, O, 2), np.float32)
+        obs_ur = np.full((M, O), -1.0, np.float32)
+        obs_is2 = np.ones((M, O), np.float32)
+        obs_valid = np.zeros((M, O), bool)
+        obs_local = np.full((M, O), -1, np.int32)
+        inv_s2 = self.inv_sigma2
+        for m in range(M):
+            for o in range(O):
+                k, i = obs_kf[m, o], obs_kp[m, o]
+                if k < 0:
+                    continue
+                j = local_of.get(int(k))
+                if j is None:
+                    continue
+                obs_local[m, o] = j
+                obs_uv[m, o] = self.kf_uv[k, i]
+                obs_ur[m, o] = self.kf_ur[k, i]
+                obs_is2[m, o] = inv_s2[self.kf_level[k, i]]
+                obs_valid[m, o] = True
+        fixed = np.zeros(K, bool)
+        fixed[len(window_kfs):] = True
+        prob = dict(
+            Rcw=self.kf_Rcw[kf_order], tcw=self.kf_tcw[kf_order],
+            fixed=fixed,
+            pw=self.lm_pw[lm_ids], lm_valid=self.lm_valid[lm_ids],
+            obs_kf=obs_local, obs_uv=obs_uv, obs_ur=obs_ur,
+            obs_inv_sigma2=obs_is2, obs_valid=obs_valid,
+        )
+        return prob, kf_order, np.asarray(lm_ids)
+
+    def apply_ba_result(self, kf_order, lm_ids, Rcw, tcw, pw,
+                        n_free: int):
+        """Write optimized poses/points back (under 'map update')."""
+        free = kf_order[:n_free]
+        self.kf_Rcw[free] = Rcw[:n_free]
+        self.kf_tcw[free] = tcw[:n_free]
+        self.lm_pw[lm_ids] = pw
+        self.version += 1

@@ -1,0 +1,227 @@
+"""Synthetic SLAM worlds: feature-level simulation for end-to-end tests.
+
+The reference validates end-to-end only on EuRoC/TUM-VI datasets
+(SURVEY.md §4); no dataset ships in this environment, so system tests run
+on a simulated world instead: landmarks with stable synthetic descriptors,
+parametric trajectories with exact ground truth, per-frame feature sets
+with configurable pixel noise, descriptor bit flips, clutter detections
+and dropout — exercising tracking/mapping/BA/loop-closing end to end with
+measurable ATE.  IMU/encoder samples are generated from the analytic
+trajectory derivatives for the VIO/VIEO paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..cameras import models as cm
+from ..math import lie
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class WorldConfig:
+    n_landmarks: int = 3000
+    extent: tuple = (20.0, 12.0, 6.0)   # x, y, z box size
+    seed: int = 0
+
+
+class SyntheticWorld:
+    """Landmark field + descriptor bank."""
+
+    def __init__(self, cfg: WorldConfig = WorldConfig()):
+        self.cfg = cfg
+        rng = np.random.RandomState(cfg.seed)
+        e = np.asarray(cfg.extent)
+        # Landmarks in a hollow box shell (walls) so every viewpoint sees
+        # structure at varied depth.
+        n = cfg.n_landmarks
+        pts = rng.rand(n, 3) * e - e / 2
+        face = rng.randint(0, 4, n)
+        pts[face == 0, 0] = -e[0] / 2     # walls
+        pts[face == 1, 0] = e[0] / 2
+        pts[face == 2, 1] = -e[1] / 2
+        pts[face == 3, 1] = e[1] / 2
+        self.pw = pts.astype(np.float32)
+        self.desc = rng.randint(0, 2 ** 32, (n, 8), np.uint64).astype(
+            np.uint32)
+        self.level = rng.randint(0, 3, n).astype(np.int32)
+        # Persistent per-landmark saliency: real detectors fire on the same
+        # corners every frame, so detection must be stable across frames
+        # (a random subset per frame would cap the matchable overlap).
+        self.saliency = rng.rand(n).astype(np.float32)
+        self.rng = rng
+
+    # ------------------------------------------------------------------
+
+    def observe(
+        self,
+        Rcw: np.ndarray,
+        tcw: np.ndarray,
+        cam: cm.Camera,
+        *,
+        bf: float = 0.0,
+        n_kp: int = 600,
+        pixel_noise: float = 0.3,
+        bit_flips: int = 4,
+        clutter: int = 60,
+        dropout: float = 0.05,
+        min_depth: float = 0.3,
+        max_depth: float = 25.0,
+        rng: np.random.RandomState | None = None,
+    ):
+        """Render one frame's feature set.
+
+        Returns dict(uv, level, angle, desc, ur, depth, valid, lm_id) with
+        capacity n_kp; lm_id gives ground-truth correspondence (-1 clutter).
+        """
+        rng = rng or self.rng
+        pc = self.pw @ Rcw.T + tcw
+        z = pc[:, 2]
+        uv = np.array(cm.project(cam, jnp.asarray(pc)))
+        vis = (
+            (z > min_depth) & (z < max_depth)
+            & (uv[:, 0] >= 1) & (uv[:, 0] < cam.width - 1)
+            & (uv[:, 1] >= 1) & (uv[:, 1] < cam.height - 1)
+        )
+        vis &= rng.rand(len(z)) > dropout
+        ids = np.nonzero(vis)[0]
+        # Stable selection: strongest saliency first.
+        ids = ids[np.argsort(-self.saliency[ids], kind="stable")]
+        n_real = min(len(ids), n_kp - clutter)
+        ids = ids[:n_real]
+
+        out_uv = np.zeros((n_kp, 2), np.float32)
+        out_level = np.zeros(n_kp, np.int32)
+        out_angle = np.zeros(n_kp, np.float32)
+        out_desc = np.zeros((n_kp, 8), np.uint32)
+        out_ur = np.full(n_kp, -1.0, np.float32)
+        out_depth = np.full(n_kp, -1.0, np.float32)
+        out_valid = np.zeros(n_kp, bool)
+        out_lmid = np.full(n_kp, -1, np.int64)
+
+        out_uv[:n_real] = uv[ids] + rng.randn(n_real, 2) * pixel_noise
+        out_level[:n_real] = self.level[ids]
+        desc = self.desc[ids].copy()
+        # Flip a few random bits per descriptor (matching noise).
+        for _ in range(bit_flips):
+            word = rng.randint(0, 8, n_real)
+            bit = rng.randint(0, 32, n_real).astype(np.uint32)
+            desc[np.arange(n_real), word] ^= (np.uint32(1) << bit)
+        out_desc[:n_real] = desc
+        if bf > 0:
+            # Geometrically consistent stereo: depth derives from the SAME
+            # noisy disparity the matcher would measure, sigma_z =
+            # z^2 * sigma_d / bf like real rectified stereo.
+            disp_true = bf / z[ids]
+            disp_meas = disp_true + rng.randn(n_real) * pixel_noise
+            out_ur[:n_real] = out_uv[:n_real, 0] - disp_meas
+            out_depth[:n_real] = bf / np.maximum(disp_meas, 1e-3)
+        out_valid[:n_real] = True
+        out_lmid[:n_real] = ids
+
+        # Clutter: random detections with random descriptors.
+        c0 = n_real
+        c1 = min(n_kp, n_real + clutter)
+        nc = c1 - c0
+        if nc > 0:
+            out_uv[c0:c1] = rng.rand(nc, 2) * [cam.width - 2, cam.height - 2]
+            out_desc[c0:c1] = rng.randint(0, 2 ** 32, (nc, 8), np.uint64)
+            out_valid[c0:c1] = True
+        return dict(
+            uv=out_uv, level=out_level, angle=out_angle, desc=out_desc,
+            ur=out_ur, depth=out_depth, valid=out_valid, lm_id=out_lmid,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Trajectories
+# ---------------------------------------------------------------------------
+
+
+def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
+                      look_outward=False):
+    """Camera circles the origin looking inward (or outward, panorama-
+    style — outward keeps wall structure close, the strong-stereo regime).
+
+    Returns (Rwc [T,3,3], twc [T,3]) world-from-camera, plus body rates
+    (omega_body [T,3], acc_body [T,3], v_world [T,3]) for IMU synthesis
+    with gravity NOT included (add g in the IMU model).
+    """
+    t = np.asarray(t, np.float64)
+    ang = omega * t
+    pos = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                    np.full_like(ang, z)], -1)
+    # camera z-axis points to origin, x-axis tangent, y-axis down-ish.
+    fwd = -pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    if look_outward:
+        fwd = -fwd
+    up = np.tile([0.0, 0.0, -1.0], (len(t), 1))
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    Rwc = np.stack([right, down, fwd], axis=-1)  # columns = cam axes
+    v = np.stack([-radius * omega * np.sin(ang),
+                  radius * omega * np.cos(ang),
+                  np.zeros_like(ang)], -1)
+    a_w = np.stack([-radius * omega ** 2 * np.cos(ang),
+                    -radius * omega ** 2 * np.sin(ang),
+                    np.zeros_like(ang)], -1)
+    # body rates: R_wc(t) varies; omega_body from dR = R hat(w) — compute
+    # numerically for generality.
+    return Rwc.astype(np.float32), pos.astype(np.float32), \
+        v.astype(np.float32), a_w.astype(np.float32)
+
+
+def trajectory_to_tcw(Rwc, twc):
+    Rcw = np.swapaxes(Rwc, -1, -2)
+    tcw = -np.einsum("tij,tj->ti", Rcw, twc)
+    return Rcw.astype(np.float32), tcw.astype(np.float32)
+
+
+def body_rates_from_poses(Rwb, t):
+    """Numeric angular velocity in body frame from a rotation sequence."""
+    w = np.zeros((len(t), 3), np.float32)
+    for i in range(1, len(t)):
+        dR = Rwb[i - 1].T @ Rwb[i]
+        dt = t[i] - t[i - 1]
+        w[i] = np.asarray(lie.so3_log(jnp.asarray(dR))) / max(dt, 1e-9)
+    w[0] = w[1]
+    return w
+
+
+def make_imu_samples(t_frames, Rwb, v_w, a_w, rate_hz=200.0,
+                     gravity=(0.0, 0.0, -9.81), bg=None, ba=None,
+                     noise_g=0.0, noise_a=0.0, seed=0):
+    """Dense IMU stream between frame timestamps.
+
+    gyro = R_wb^T dR/dt (body rates); acc = R_wb^T (a_w - g) + ba + noise.
+    Values are linearly interpolated from per-frame analytic quantities.
+    """
+    rng = np.random.RandomState(seed)
+    t0, t1 = t_frames[0], t_frames[-1]
+    ts = np.arange(t0, t1, 1.0 / rate_hz)
+    g = np.asarray(gravity)
+    bg = np.zeros(3) if bg is None else np.asarray(bg)
+    ba = np.zeros(3) if ba is None else np.asarray(ba)
+
+    w_body_frames = body_rates_from_poses(Rwb, t_frames)
+
+    def interp(vals):
+        return np.stack(
+            [np.interp(ts, t_frames, vals[:, i]) for i in range(3)], -1)
+
+    w_b = interp(w_body_frames)
+    a_world = interp(a_w)
+    # rotate world accel into body at interpolated attitude (nearest frame
+    # attitude is accurate enough at 200 Hz for tests).
+    idx = np.clip(np.searchsorted(t_frames, ts), 0, len(t_frames) - 1)
+    Rb = Rwb[idx]
+    a_b = np.einsum("tij,ti->tj", Rb, a_world - g)  # R^T (a - g)
+    gyro = w_b + bg + rng.randn(*w_b.shape) * noise_g
+    acc = a_b + ba + rng.randn(*a_b.shape) * noise_a
+    return ts.astype(np.float64), gyro.astype(np.float32), \
+        acc.astype(np.float32)

@@ -55,41 +55,49 @@ def lm_solve(
     (reference Optimizer.h:126-206 FillCovInv).
     """
     H0, b0, c0 = system_fn(x0)
-    lam0 = init_lambda_factor * jnp.maximum(
+    dt = H0.dtype
+    lam0 = (init_lambda_factor * jnp.maximum(
         jnp.max(jnp.diagonal(H0)), min_diag
-    )
+    )).astype(dt)
 
     def step(state: LMState, _):
         H, b, cost = system_fn(state.x)
         D = H.shape[0]
-        diag = jnp.clip(jnp.diagonal(H), min_diag, None)
-        A = H + state.lam * jnp.diag(diag)
-        # Cholesky with jitter fallback handled by the damping itself.
+        # Additive identity damping, g2o-style: lambda0 = tau * max(H_ii),
+        # A = H + lambda I. (Mixing lambda0 = tau*max(diag) with
+        # MULTIPLICATIVE diag damping overdamps by orders of magnitude.)
+        A = H + state.lam * jnp.eye(D, dtype=H.dtype)
         dx = jnp.linalg.solve(A, b)
         x_new = retract_fn(state.x, dx)
-        new_cost = cost_fn(x_new)
+        # dtype-stable under jax_enable_x64: the scan carry must not promote.
+        x_new = jax.tree.map(lambda a, ref: a.astype(ref.dtype),
+                             x_new, state.x)
+        new_cost = cost_fn(x_new).astype(dt)
+        cost = cost.astype(dt)
         # Gain ratio: actual / predicted reduction.
-        pred = 0.5 * jnp.dot(dx, state.lam * diag * dx + b)
-        gain = (cost - new_cost) / jnp.maximum(pred, 1e-30)
+        pred = 0.5 * jnp.dot(dx, state.lam * dx + b)
+        gain = ((cost - new_cost) / jnp.maximum(pred, 1e-30)).astype(dt)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
 
         lam_acc = state.lam * jnp.maximum(
-            1.0 / 3.0, 1.0 - (2.0 * gain - 1.0) ** 3
+            jnp.asarray(1.0 / 3.0, dt),
+            1.0 - (2.0 * gain - 1.0) ** 3
         )
         lam_rej = state.lam * state.nu
         new_state = LMState(
             x=jax.tree.map(
                 lambda a, b_: jnp.where(accept, a, b_), x_new, state.x
             ),
-            lam=jnp.where(accept, lam_acc, lam_rej),
-            nu=jnp.where(accept, jnp.asarray(2.0, cost.dtype), state.nu * 2.0),
+            lam=jnp.where(accept, lam_acc, lam_rej).astype(dt),
+            nu=jnp.where(accept, jnp.asarray(2.0, dt),
+                         state.nu * 2.0).astype(dt),
             cost=jnp.where(accept, new_cost, cost),
             accepted=accept,
         )
         return new_state, None
 
     init = LMState(
-        x=x0, lam=lam0, nu=jnp.asarray(2.0, c0.dtype), cost=c0,
+        x=x0, lam=lam0, nu=jnp.asarray(2.0, dt), cost=c0.astype(dt),
         accepted=jnp.asarray(True),
     )
     final, _ = jax.lax.scan(step, init, None, length=iters)

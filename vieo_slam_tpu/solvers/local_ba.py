@@ -103,7 +103,7 @@ def _obs_terms(Rcw, tcw, pw, prob: BAProblem, cam, bf):
     Jl = -jnp.concatenate([Juv_lm, Jur_lm[..., None, :]], axis=-2)
 
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-    delta2 = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
+    delta2 = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(chi2.dtype)
     return r, Jp, Jl, chi2, delta2, depth_ok
 
 
@@ -191,7 +191,9 @@ def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     Rcw_n = dRs @ Rcw
     tcw_n = jnp.einsum("kij,kj->ki", dRs, tcw) + dts
     pw_n = pw + dl
-    return Rcw_n, tcw_n, pw_n
+    # dtype-stable under jax_enable_x64 (scan carry must not promote).
+    return (Rcw_n.astype(Rcw.dtype), tcw_n.astype(tcw.dtype),
+            pw_n.astype(pw.dtype))
 
 
 def local_ba(
@@ -210,7 +212,8 @@ def local_ba(
         def body(carry, _):
             Rcw, tcw, pw, lam, cost = carry
             cand = _ba_iteration(Rcw, tcw, pw, prob, cam, bf, active, lam)
-            new_cost = _total_cost(*cand, prob, cam, bf, active)
+            new_cost = _total_cost(*cand, prob, cam, bf, active).astype(
+                prob.tcw.dtype)
             accept = (new_cost < cost) & jnp.isfinite(new_cost)
             Rcw = jnp.where(accept, cand[0], Rcw)
             tcw = jnp.where(accept, cand[1], tcw)
@@ -219,7 +222,8 @@ def local_ba(
             cost = jnp.where(accept, new_cost, cost)
             return (Rcw, tcw, pw, lam, cost), None
 
-        cost0 = _total_cost(Rcw, tcw, pw, prob, cam, bf, active)
+        cost0 = _total_cost(Rcw, tcw, pw, prob, cam, bf, active).astype(
+            prob.tcw.dtype)
         lam0 = jnp.asarray(init_lambda, prob.tcw.dtype)
         (Rcw, tcw, pw, _, cost), _ = jax.lax.scan(
             body, (Rcw, tcw, pw, lam0, cost0), None, length=n_iters)

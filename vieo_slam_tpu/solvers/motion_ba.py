@@ -114,7 +114,7 @@ def pose_optimization(
         R, t = pose
         r, _, stereo, depth_ok = _residuals(R, t, obs, cam, bf)
         chi2 = _chi2(r, obs.inv_sigma2, stereo)
-        delta2 = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
+        delta2 = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(chi2.dtype)
         return chi2, delta2, depth_ok
 
     def make_fns(active):
@@ -124,7 +124,8 @@ def pose_optimization(
             R, t = pose
             r, J, stereo, depth_ok = _residuals(R, t, obs, cam, bf)
             chi2 = _chi2(r, obs.inv_sigma2, stereo)
-            delta2 = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
+            delta2 = jnp.where(stereo, CHI2_STEREO,
+                               CHI2_MONO).astype(chi2.dtype)
             w = (huber_weight(chi2, delta2) * obs.inv_sigma2
                  * w_active * depth_ok)
             H = jnp.einsum("nri,n,nrj->ij", J, w, J)

@@ -1,0 +1,108 @@
+"""System facade: the public entry point of the framework.
+
+Equivalent of include/System.h / src/System.cc (System::System :484,
+TrackStereo :615, TrackOdom :19, SaveTrajectoryTUM :780, Shutdown :765):
+constructs and wires the pipeline stages, routes frames and odometry,
+switches modes, saves maps and trajectories.
+
+Concurrency model (replaces the reference's 4-thread + mutex design,
+SURVEY.md §2.4): pipeline stages run as host-orchestrated jitted programs
+against versioned map snapshots.  Tracking runs per frame; local mapping
+runs synchronously at keyframe insertion (its device programs overlap
+tracking's via JAX async dispatch); loop closing and GBA run on demand at
+keyframe cadence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+from .backend.local_mapping import LocalMapper, LocalMappingConfig
+from .cameras import models as cm
+from .frontend.frame import Frame
+from .frontend.tracking import Tracker, TrackerConfig, TrackState
+from .map.map_state import MapConfig, MapState
+
+
+class SensorMode(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    sensor: SensorMode = SensorMode.STEREO
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    mapper: LocalMappingConfig = dataclasses.field(
+        default_factory=LocalMappingConfig)
+    localization_only: bool = False
+
+
+class System:
+    """Public API facade."""
+
+    def __init__(self, cam: cm.Camera, bf: float,
+                 cfg: Optional[SystemConfig] = None):
+        self.cfg = cfg or SystemConfig()
+        self.cam = cam
+        self.bf = float(bf)
+        self.map = MapState(self.cfg.map)
+        self.tracker = Tracker(cam, bf, self.map, self.cfg.tracker)
+        self.mapper = LocalMapper(cam, bf, self.map, self.cfg.mapper)
+        self.loop_closer = None   # attached by loop/ module when enabled
+
+    # ------------------------------------------------------------------
+
+    def track_frame(self, frame: Frame) -> TrackState:
+        """Track one pre-built Frame (feature-level entry; image-level
+        wrappers in frontend.frame build Frames from pixels)."""
+        state = self.tracker.track(frame)
+        new_kf = self.tracker.last_new_kf
+        if new_kf is not None and not self.cfg.localization_only:
+            self.mapper.process_keyframe(new_kf)
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(new_kf)
+            # Local BA may have moved the new KF (and the map): rebase the
+            # tracker's pose so the next prediction is map-consistent.
+            self.tracker.rebase_to_keyframe(new_kf)
+        return state
+
+    # ------------------------------------------------------------------
+
+    def trajectory(self):
+        """Per-frame camera trajectory [(t, Rcw, tcw, state)]."""
+        return self.tracker.trajectory
+
+    def trajectory_tum(self) -> str:
+        """TUM format: t x y z qx qy qz qw of Twc
+        (System::SaveTrajectoryTUM)."""
+        from .math import lie
+        import jax.numpy as jnp
+        lines = []
+        for t, Rcw, tcw, state in self.tracker.trajectory:
+            Rwc = Rcw.T
+            twc = -Rwc @ tcw
+            q = np.asarray(lie.quat_from_rotmat(jnp.asarray(Rwc)))
+            lines.append(
+                f"{t:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
+            )
+        return "\n".join(lines) + "\n"
+
+    def save_trajectory_tum(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.trajectory_tum())
+
+    # ------------------------------------------------------------------
+
+    def shutdown(self):
+        """Flush pending device work (System::Shutdown)."""
+        import jax
+        # Block on any async dispatches still in flight.
+        jax.effects_barrier()
