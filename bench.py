@@ -1,0 +1,108 @@
+"""Benchmark: stereo-SLAM frontend throughput on the real TPU chip.
+
+Measures the full per-frame frontend pipeline — ORB extraction on both
+stereo images (1200 features, 8 pyramid levels, 480x752), rectified stereo
+Hamming matching, local-map projection association and motion-only BA
+(4x10 robust LM) — i.e. the same work the reference's Tracking thread does
+per frame (SURVEY.md §3.1 hot path), against its published
+35.x ms/frame (undistorted, 1200 features, i9-14900HX; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "frontend_ms_per_frame", "value": ..., "unit": "ms",
+   "vs_baseline": <reference_ms / ours — speedup factor>}
+
+All inputs are staged on device once (this container's host<->device relay
+has multi-second per-transfer latency; see .claude/skills/verify/SKILL.md),
+and a persistent compilation cache amortizes the one-time compile.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from vieo_slam_tpu.cameras import models as cm  # noqa: E402
+from vieo_slam_tpu.frontend.frame import build_stereo_frame  # noqa: E402
+from vieo_slam_tpu.frontend.tracking import _track_kernel  # noqa: E402
+from vieo_slam_tpu.ops import orb  # noqa: E402
+
+BASELINE_MS = 35.0  # reference frontend ms/frame, undistorted 1200 feats
+
+H, W = 480, 752
+N_FEATURES = 1200
+SLAB = 4096
+N_WARMUP = 3
+N_ITERS = 30
+
+
+def main():
+    cfg = orb.OrbConfig(n_features=N_FEATURES, n_levels=8)
+    cam = cm.make_pinhole(458.0, 458.0, 376.0, 240.0, W, H)
+    bf = 458.0 * 0.11
+    inv_sigma2 = jnp.asarray((1.0 / cfg.level_scales ** 2).astype(np.float32))
+    scales = jnp.asarray(cfg.level_scales.astype(np.float32))
+
+    def frontend_step(img_l, img_r, Rcw0, tcw0, lm_pw, lm_desc, lm_valid):
+        frame = build_stereo_frame(img_l, img_r, cfg, bf=bf)
+        res = _track_kernel(
+            Rcw0, tcw0,
+            lm_pw, lm_desc, jnp.zeros(SLAB, jnp.int32), lm_valid,
+            frame,
+            inv_sigma2, scales,
+            jnp.asarray(15.0, jnp.float32), jnp.asarray(6.0, jnp.float32),
+            jnp.asarray(bf, jnp.float32),
+            cam,
+        )
+        return res.Rcw, res.tcw, res.n_inliers
+
+    # Stage a small batch of distinct synthetic frames on device once.
+    rng = np.random.RandomState(0)
+    B = 4
+    base = rng.rand(B, H, W).astype(np.float32) * 200 + 20
+    for b in range(B):  # sprinkle corners
+        ys = rng.randint(20, H - 20, 400)
+        xs = rng.randint(20, W - 20, 400)
+        base[b, ys, xs] = 255.0
+    imgs_l = jax.device_put(jnp.asarray(base))
+    imgs_r = jax.device_put(jnp.asarray(np.roll(base, -6, axis=2)))
+    lm_pw = jax.device_put(jnp.asarray(
+        rng.randn(SLAB, 3).astype(np.float32) * [2, 1.5, 1] + [0, 0, 6]))
+    lm_desc = jax.device_put(jnp.asarray(
+        rng.randint(0, 2 ** 32, (SLAB, 8), np.uint64).astype(np.uint32)))
+    lm_valid = jax.device_put(jnp.ones(SLAB, bool))
+    R0 = jax.device_put(jnp.eye(3))
+    t0_ = jax.device_put(jnp.zeros(3))
+
+    step = jax.jit(frontend_step)
+    # Warmup / compile.
+    out = None
+    for i in range(N_WARMUP):
+        out = step(imgs_l[i % B], imgs_r[i % B], R0, t0_,
+                   lm_pw, lm_desc, lm_valid)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for i in range(N_ITERS):
+        out = step(imgs_l[i % B], imgs_r[i % B], R0, t0_,
+                   lm_pw, lm_desc, lm_valid)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / N_ITERS * 1e3
+
+    print(json.dumps({
+        "metric": "frontend_ms_per_frame",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

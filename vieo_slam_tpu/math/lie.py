@@ -81,19 +81,26 @@ def so3_log(R: jax.Array) -> jax.Array:
     Mirrors Sophus/so3_extra.h log semantics (angle in [0, pi]).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # arccos has infinite slope at +-1: clamp the -1 side, and route the
+    # +1 side through a dummy input ("double where") so autodiff through
+    # residuals that vanish at identity (IMU edges at the optimum) stays
+    # finite.
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-15, 1.0)
+    small = cos_t > 1.0 - 1e-6  # must exceed f32 eps at 1.0 (~1.2e-7)
+    cos_safe = jnp.where(small, jnp.zeros_like(cos_t), cos_t)
+    theta = jnp.where(small, 0.0, jnp.arccos(cos_safe))
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
 
     sin_t = jnp.sin(theta)
     near_pi = cos_t < -1.0 + 1e-6
-    small = theta < 1e-4
 
     # Generic branch: phi = theta / (2 sin theta) * vee(R - R^T)
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_t), sin_t)
     phi_generic = (theta / safe_sin)[..., None] * w
-    # Small-angle branch: phi ~= (1 + theta^2/6) * w
-    phi_small = (1.0 + theta[..., None] ** 2 / 6.0) * w
+    # Small-angle branch: |w| = sin(theta) ~ theta, so
+    # phi ~= (1 + |w|^2/6) w — no arccos in this path (autodiff-safe).
+    w_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    phi_small = (1.0 + w_sq / 6.0) * w
     # Near-pi branch. From R = I + sin t K + (1 - cos t) K^2:
     #   (R + R^T)/2 = I + (1 - cos t)(a a^T - I)
     # => a_i^2   = (R_ii - cos t) / (1 - cos t)              (exact, any t)

@@ -215,8 +215,11 @@ def preintegrate_imu(
         cov = cov.at[3:6, 6:9].add(sa2 * (Bv @ Bp.T))
         cov = cov.at[6:9, 3:6].add(sa2 * (Bp @ Bv.T))
 
-        return Carry(dR, dv, dp, cov, Jg_R, Jg_v, Ja_v, Jg_p, Ja_p,
-                     c.t + dt_k), None
+        out = Carry(dR, dv, dp, cov, Jg_R, Jg_v, Ja_v, Jg_p, Ja_p,
+                    c.t + dt_k)
+        # dtype-stable under jax_enable_x64.
+        return jax.tree.map(lambda x_, ref: x_.astype(ref.dtype), out, c), \
+            None
 
     def hat_a(a_k):
         return lie.hat(a_k)
