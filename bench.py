@@ -89,11 +89,14 @@ def main():
                    lm_pw, lm_desc, lm_valid)
     jax.block_until_ready(out)
 
+    # Per-frame LATENCY (blocked each frame): the pose chain makes frame
+    # k+1 depend on frame k, so latency — not pipelined throughput — is
+    # the honest frontend number.
     t0 = time.time()
     for i in range(N_ITERS):
-        out = step(imgs_l[i % B], imgs_r[i % B], R0, t0_,
-                   lm_pw, lm_desc, lm_valid)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(
+            step(imgs_l[i % B], imgs_r[i % B], R0, t0_,
+                 lm_pw, lm_desc, lm_valid))
     ms = (time.time() - t0) / N_ITERS * 1e3
 
     print(json.dumps({

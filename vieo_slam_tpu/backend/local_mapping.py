@@ -263,6 +263,35 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
+    def run_global_ba(self, *, stage_iters=(8, 12)):
+        """Full-map BA (GlobalBundleAdjustment, Optimizer.cc:1346): all
+        keyframes free except the first (gauge), all landmarks. Invoked
+        after loop closing (the reference's GBA thread) and by
+        System.final_global_ba."""
+        m = self.map
+        kfs = m.keyframe_ids()
+        if len(kfs) < 3:
+            return
+        window = kfs[1:]
+        ring = kfs[:1]
+        lm_ids = m.landmarks_in_keyframes(kfs)
+        lm_ids = lm_ids[m.lm_valid[lm_ids]]
+        if lm_ids.size < 10:
+            return
+        prob_np, kf_order, lm_ids = m.build_ba_problem(window, ring, lm_ids)
+        prob = self._pad_problem(prob_np)
+        res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32),
+                      stage_iters=stage_iters)
+        K, M = len(kf_order), len(lm_ids)
+        m.apply_ba_result(
+            kf_order, lm_ids,
+            np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
+            np.asarray(res.pw)[:M], n_free=len(window),
+        )
+        m.big_change_idx += 1
+
+    # ------------------------------------------------------------------
+
     def _pad_problem(self, p: dict) -> BAProblem:
         cfg = self.cfg
         K = p["Rcw"].shape[0]

@@ -1,0 +1,290 @@
+"""Loop closing: detection, Sim3 verification, map correction, pose graph.
+
+TPU-native equivalent of src/LoopClosing.cc (Run :93, DetectLoop :153,
+ComputeSim3 :308, CorrectLoop :491, SearchAndFuse :682) run synchronously
+at keyframe cadence: BoW scoring against the dense keyframe database,
+temporal consistency across consecutive keyframes (the reference's
+consistency groups, simplified to covisibility-group persistence),
+batched Hamming matching + 3D-3D Sim3 RANSAC for geometric verification,
+then whole-graph Sim3 pose-graph optimization with landmark correction —
+no GBA thread/abort protocol: the pose graph + (optional) global BA run
+to completion inside the keyframe step, with the map version counter
+signalling the big change (Map::InformNewBigChange).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import models as cm
+from ..loop.keyframe_db import KeyFrameDatabase
+from ..loop.vocabulary import Vocabulary, train_vocabulary, transform
+from ..map.map_state import MapState
+from ..math import lie
+from ..ops import matching
+from ..solvers.pose_graph import (
+    PoseGraphProblem, correct_landmarks, optimize_pose_graph,
+)
+from ..solvers.sim3_solver import sim3_ransac
+
+
+@dataclasses.dataclass
+class LoopClosingConfig:
+    min_kf_gap: int = 10            # KFs between query and candidates
+    consistency_needed: int = 2     # consecutive detections required
+    min_sim3_inliers: int = 20      # ComputeSim3 acceptance
+    inlier_thresh: float = 0.10     # metric 3D-3D gate
+    fix_scale: bool = True          # stereo/RGB-D
+    covis_edge_min: int = 30        # covisibility edges >= N shared
+    voc_k: int = 8
+    voc_L: int = 3
+    voc_train_after: int = 3        # train vocab once N KFs exist
+    max_pose_graph_kfs: int = 512
+
+
+class LoopCloser:
+    def __init__(self, cam: cm.Camera, bf: float, map_state: MapState,
+                 cfg: LoopClosingConfig | None = None,
+                 vocabulary: Vocabulary | None = None):
+        self.cam = cam
+        self.bf = float(bf)
+        self.map = map_state
+        self.cfg = cfg or LoopClosingConfig()
+        self.voc = vocabulary
+        self.db: KeyFrameDatabase | None = None
+        self.kf_bow: dict[int, np.ndarray] = {}
+        self.last_loop_kf = -10 ** 9
+        self._pending: dict[int, int] = {}   # candidate -> streak count
+        self.loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+
+    def _ensure_vocabulary(self):
+        if self.voc is not None:
+            return True
+        m = self.map
+        kfs = m.keyframe_ids()
+        if len(kfs) < self.cfg.voc_train_after:
+            return False
+        descs = []
+        for k in kfs:
+            d = m.kf_desc[k][m.kf_kp_valid[k]]
+            descs.append(d)
+        alld = np.concatenate(descs)
+        if len(alld) < 500:
+            return False
+        self.voc = train_vocabulary(alld, k=self.cfg.voc_k,
+                                    L=self.cfg.voc_L, seed=0)
+        return True
+
+    def _bow_of(self, k: int) -> np.ndarray:
+        if k not in self.kf_bow:
+            m = self.map
+            bow, _ = transform(
+                self.voc, jnp.asarray(m.kf_desc[k]),
+                jnp.asarray(m.kf_kp_valid[k]))
+            self.kf_bow[k] = np.asarray(bow)
+        return self.kf_bow[k]
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, k: int) -> bool:
+        """DetectLoop + ComputeSim3 + CorrectLoop for one new KF.
+        Returns True if a loop was closed."""
+        if not self._ensure_vocabulary():
+            return False
+        if self.db is None:
+            self.db = KeyFrameDatabase(self.voc.n_words,
+                                       capacity=self.map.cfg.max_keyframes)
+        m = self.map
+        bow = self._bow_of(k)
+        closed = False
+        if k - self.last_loop_kf >= self.cfg.min_kf_gap:
+            neigh, _ = m.covisible_keyframes(k, min_shared=5)
+            connected = np.concatenate([[k], neigh]).astype(int)
+            recent = np.asarray(
+                [kf for kf in m.keyframe_ids()
+                 if k - kf < self.cfg.min_kf_gap], int)
+            excl = np.unique(np.concatenate([connected, recent]))
+            cands = self.db.detect_loop_candidates(
+                bow, k, excl,
+                lambda c: m.covisible_keyframes(int(c), min_shared=5)[0],
+            )
+            cands = self._consistency_filter(cands)
+            for c in cands:
+                if self._try_close(k, int(c)):
+                    closed = True
+                    break
+        self.db.add(k, bow)
+        return closed
+
+    def _consistency_filter(self, cands: np.ndarray) -> np.ndarray:
+        """Candidate must persist `consistency_needed` consecutive KFs
+        (DetectLoop consistency groups, LoopClosing.cc:226-305 simplified:
+        a candidate or its covisible ring counts as the same group)."""
+        m = self.map
+        out = []
+        new_pending: dict[int, int] = {}
+        for c in cands:
+            group = set(
+                int(x) for x in
+                np.concatenate([[c], m.covisible_keyframes(
+                    int(c), min_shared=5)[0]]))
+            streak = 1
+            for prev, cnt in self._pending.items():
+                if prev in group:
+                    streak = cnt + 1
+                    break
+            new_pending[int(c)] = streak
+            if streak >= self.cfg.consistency_needed:
+                out.append(int(c))
+        self._pending = new_pending
+        return np.asarray(out, int)
+
+    # ------------------------------------------------------------------
+
+    def _matched_landmark_pairs(self, k: int, c: int):
+        """Descriptor-match keypoints of k vs c where both carry landmarks;
+        returns their landmark positions in each KF's camera frame."""
+        m = self.map
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(m.kf_desc[k]), jnp.asarray(m.kf_desc[c]),
+            jnp.asarray(m.kf_kp_valid[k] & (m.kf_lm_idx[k] >= 0)),
+            jnp.asarray(m.kf_kp_valid[c] & (m.kf_lm_idx[c] >= 0)),
+            max_dist=60, ratio=0.85,
+        )
+        idx = np.asarray(idx)
+        rows = np.nonzero(idx >= 0)[0]
+        if rows.size == 0:
+            return None
+        lm_k = m.kf_lm_idx[k, rows]
+        lm_c = m.kf_lm_idx[c, idx[rows]]
+        ok = (lm_k >= 0) & (lm_c >= 0) & m.lm_valid[lm_k] & m.lm_valid[lm_c]
+        rows, lm_k, lm_c = rows[ok], lm_k[ok], lm_c[ok]
+        if rows.size < 3:
+            return None
+        p_k = m.lm_pw[lm_k] @ m.kf_Rcw[k].T + m.kf_tcw[k]   # in k frame
+        p_c = m.lm_pw[lm_c] @ m.kf_Rcw[c].T + m.kf_tcw[c]   # in c frame
+        return p_k.astype(np.float32), p_c.astype(np.float32), lm_k, lm_c
+
+    def _try_close(self, k: int, c: int) -> bool:
+        pairs = self._matched_landmark_pairs(k, c)
+        if pairs is None:
+            return False
+        p_k, p_c, lm_k, lm_c = pairs
+        cap = 512
+        n = min(len(p_k), cap)
+        src = np.zeros((cap, 3), np.float32)
+        dst = np.zeros((cap, 3), np.float32)
+        val = np.zeros(cap, bool)
+        src[:n], dst[:n], val[:n] = p_k[:n], p_c[:n], True
+        res = sim3_ransac(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
+            jax.random.PRNGKey(k),
+            inlier_thresh=self.cfg.inlier_thresh,
+            with_scale=not self.cfg.fix_scale,
+        )
+        if int(res.n_inliers) < self.cfg.min_sim3_inliers:
+            return False
+        # S_ck: maps k-frame points onto c-frame points.
+        S_ck = (np.asarray(res.R), np.asarray(res.t), float(res.s))
+        self._correct_loop(k, c, S_ck)
+        self.last_loop_kf = k
+        self.n_loops_closed += 1
+        # fuse the matched duplicates (SearchAndFuse essentials).
+        m = self.map
+        inl = np.asarray(res.inliers)[:n]
+        for a, b in zip(lm_k[:n][inl], lm_c[:n][inl]):
+            if a != b and m.lm_valid[a] and m.lm_valid[b]:
+                m.replace_landmark(int(a), int(b))
+        return True
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, k: int, c: int, S_ck):
+        """CorrectLoop: pose-graph over all KFs with the new loop edge."""
+        m = self.map
+        cfg = self.cfg
+        kfs = m.keyframe_ids()[: cfg.max_pose_graph_kfs]
+        K = len(kfs)
+        local = {int(kf): i for i, kf in enumerate(kfs)}
+
+        R = m.kf_Rcw[kfs].astype(np.float32)
+        t = m.kf_tcw[kfs].astype(np.float32)
+        s = np.ones(K, np.float32)
+
+        ei, ej, eR, et, es, ew = [], [], [], [], [], []
+
+        def add_edge(i, j, Rm=None, tm=None, sm=1.0, w=1.0):
+            ei.append(i); ej.append(j)
+            if Rm is None:  # measurement from current estimates
+                Rm_, tm_, sm_ = lie.sim3_compose(
+                    jnp.asarray(R[i]), jnp.asarray(t[i]), jnp.asarray(1.0),
+                    *lie.sim3_inverse(jnp.asarray(R[j]), jnp.asarray(t[j]),
+                                      jnp.asarray(1.0)))
+                Rm, tm, sm = np.asarray(Rm_), np.asarray(tm_), float(sm_)
+            eR.append(Rm); et.append(tm); es.append(sm); ew.append(w)
+
+        # temporal chain edges
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            add_edge(local[int(a)], local[int(b)])
+        # covisibility edges
+        for kf in kfs:
+            neigh, wts = m.covisible_keyframes(int(kf),
+                                               min_shared=cfg.covis_edge_min)
+            for nb in neigh[:5]:
+                i, j = local[int(kf)], local.get(int(nb))
+                if j is None or i >= j:
+                    continue
+                add_edge(i, j)
+        # previous loop edges
+        for (a, b, Rm, tm) in self.loop_edges:
+            if int(a) in local and int(b) in local:
+                add_edge(local[int(a)], local[int(b)], Rm, tm, 1.0, w=3.0)
+        # the NEW loop edge: S_kc maps c-frame to k-frame: measurement for
+        # (i=k, j=c) is S_k_w * S_c_w^-1 which should equal S_kc = S_ck^-1.
+        R_ck, t_ck, s_ck = S_ck
+        R_kc, t_kc, s_kc = lie.sim3_inverse(
+            jnp.asarray(R_ck), jnp.asarray(t_ck), jnp.asarray(s_ck))
+        add_edge(local[k], local[c], np.asarray(R_kc), np.asarray(t_kc),
+                 float(s_kc), w=5.0)
+        self.loop_edges.append(
+            (k, c, np.asarray(R_kc), np.asarray(t_kc)))
+
+        E = len(ei)
+        prob = PoseGraphProblem(
+            R=jnp.asarray(R), t=jnp.asarray(t), s=jnp.asarray(s),
+            fixed=jnp.asarray(
+                [i == local[c] for i in range(K)]),  # anchor loop KF
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_R=jnp.asarray(np.stack(eR)),
+            edge_t=jnp.asarray(np.stack(et)),
+            edge_s=jnp.asarray(es, jnp.float32),
+            edge_w=jnp.asarray(ew, jnp.float32),
+        )
+        out = optimize_pose_graph(prob, iters=20,
+                                  fix_scale=cfg.fix_scale)
+        R_new = np.asarray(out.R)
+        t_new = np.asarray(out.t)
+        s_new = np.asarray(out.s)
+
+        # correct landmarks with their reference KFs, then write back.
+        lm_ids = np.nonzero(m.lm_valid)[0]
+        ref = m.lm_ref_kf[lm_ids]
+        ref_local = np.asarray([local.get(int(r), 0) for r in ref],
+                               np.int32)
+        pw_new = correct_landmarks(
+            jnp.asarray(m.lm_pw[lm_ids]), jnp.asarray(ref_local),
+            prob.R, prob.t, prob.s, out.R, out.t, out.s)
+        m.lm_pw[lm_ids] = np.asarray(pw_new)
+        # scale-normalize rotations back onto SE3 for storage.
+        m.kf_Rcw[kfs] = R_new
+        m.kf_tcw[kfs] = t_new / np.maximum(s_new[:, None], 1e-9)
+        m.big_change_idx += 1
+        m.version += 1

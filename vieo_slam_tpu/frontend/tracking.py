@@ -48,9 +48,12 @@ class TrackerConfig:
     kf_tracked_ratio: float = 0.9    # NeedNewKeyFrame 90% rule
     kf_min_interval: int = 1         # frames between KFs (min)
     kf_max_interval: int = 4         # force KF after this many frames
-    lost_retry_radius: float = 40.0  # wide re-search before giving up
+    lost_retry_radius: float = 80.0  # wide re-search before giving up
     th_depth: float = 4.0            # mThDepth: init/creation depth gate
     max_level_tolerance: int = 8     # disables level gating when large
+    # (stage1 rounds, stage1 iters, stage2 rounds, stage2 iters):
+    # latency/accuracy knob; each LM iteration is serial device latency.
+    schedule: tuple = (3, 6, 2, 4)
 
 
 class TrackKernelResult(NamedTuple):
@@ -62,7 +65,7 @@ class TrackKernelResult(NamedTuple):
     in_frustum: jax.Array   # [LC] landmark projected into the image
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("schedule",))
 def _track_kernel(
     Rcw0, tcw0,
     lm_pw, lm_desc, lm_level, lm_valid,
@@ -72,6 +75,7 @@ def _track_kernel(
     radius_coarse, radius_fine,
     bf,
     cam: cm.Camera,
+    schedule: tuple = (2, 3, 2, 2),
 ):
     """Two-stage frame tracking against a local-landmark slab.
 
@@ -80,7 +84,7 @@ def _track_kernel(
     (TrackWithMotionModel + TrackLocalMap collapsed into one program.)
     """
     def associate_and_optimize(Rcw, tcw, radius, level_tol,
-                               max_hamming, ratio):
+                               max_hamming, ratio, rounds, iters):
         pc = jnp.einsum("ij,nj->ni", Rcw, lm_pw) + tcw
         uv_proj = cm.project(cam, pc)
         vis = lm_valid & (pc[:, 2] > 0.1) & cm.in_image(cam, uv_proj, 1.0)
@@ -101,7 +105,8 @@ def _track_kernel(
             inv_sigma2=inv_sigma2_tab[jnp.clip(frame.level[kp], 0)],
             valid=matched,
         )
-        res = pose_optimization(Rcw, tcw, obs, cam, bf)
+        res = pose_optimization(Rcw, tcw, obs, cam, bf,
+                                rounds=rounds, iters_per_round=iters)
         return res, idx, vis
 
     # Stricter gates than the reference's TH_HIGH: prediction-consistent
@@ -109,10 +114,17 @@ def _track_kernel(
     # along the weakly-observable sightline direction (measured: ~20 wrong
     # matches displace the optimum by ~8 cm), so the Hamming/ratio bar is
     # set high and stage 2 re-searches tightly at the refined pose.
+    # The schedule is short by TPU design: each LM iteration is a serial
+    # dependency on the chip (measured ~1.2 ms of latency per iteration on
+    # v5e through the full [slab x kp] association program), and tracking
+    # converges in 2-3 GN steps from the motion-model prediction; the
+    # reference's 4x10 schedule is a CPU-era safety margin.
+    s1r, s1i, s2r, s2i = schedule
     res1, idx1, _ = associate_and_optimize(Rcw0, tcw0, radius_coarse, 8,
-                                           75, 0.8)
+                                           75, 0.8, s1r, s1i)
     res2, idx2, vis2 = associate_and_optimize(res1.Rcw, res1.tcw,
-                                              radius_fine, 8, 50, 0.8)
+                                              radius_fine, 8, 50, 0.8,
+                                              s2r, s2i)
     return TrackKernelResult(
         Rcw=res2.Rcw, tcw=res2.tcw, lm_match=idx2,
         inlier=res2.inliers, n_inliers=res2.n_inliers, in_frustum=vis2,
@@ -234,6 +246,10 @@ class Tracker:
     def _track_frame(self, frame: Frame):
         pw, desc, level, valid, lm_ids = self._local_landmark_slab()
         R0, t0 = self._predict_pose()
+        # Tight window always (wide windows re-admit the mismatches that
+        # pin the pose valley); unpredicted fast motion is caught by the
+        # wide-radius retry below.
+        coarse_r = self.cfg.match_radius_coarse
         res = _track_kernel(
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
@@ -241,10 +257,11 @@ class Tracker:
             frame,
             jnp.asarray(self.map.inv_sigma2),
             jnp.asarray(self.map.level_scales.astype(np.float32)),
-            jnp.asarray(self.cfg.match_radius_coarse, jnp.float32),
+            jnp.asarray(coarse_r, jnp.float32),
             jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
             jnp.asarray(self.bf, jnp.float32),
             self.cam,
+            schedule=self.cfg.schedule,
         )
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:
@@ -261,6 +278,7 @@ class Tracker:
                 jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
                 jnp.asarray(self.bf, jnp.float32),
                 self.cam,
+                schedule=self.cfg.schedule,
             )
             n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:

@@ -321,10 +321,21 @@ class MapState:
         return prob, kf_order, np.asarray(lm_ids)
 
     def apply_ba_result(self, kf_order, lm_ids, Rcw, tcw, pw,
-                        n_free: int):
-        """Write optimized poses/points back (under 'map update')."""
+                        n_free: int) -> bool:
+        """Write optimized poses/points back (under 'map update').
+
+        Non-finite results are rejected wholesale (a diverged solve must
+        not poison the map — the reference's equivalent safety is its
+        forced-on asserts, mlog/log.h:14-22). Returns False if rejected."""
+        if not (np.isfinite(Rcw[:n_free]).all()
+                and np.isfinite(tcw[:n_free]).all()):
+            return False
         free = kf_order[:n_free]
         self.kf_Rcw[free] = Rcw[:n_free]
         self.kf_tcw[free] = tcw[:n_free]
-        self.lm_pw[lm_ids] = pw
+        pw_ok = np.isfinite(pw).all(axis=1)
+        self.lm_pw[lm_ids[pw_ok]] = pw[pw_ok]
+        if not pw_ok.all():
+            self.erase_landmarks(lm_ids[~pw_ok])
         self.version += 1
+        return True

@@ -109,8 +109,14 @@ def _obs_terms(Rcw, tcw, pw, prob: BAProblem, cam, bf):
 
 def _total_cost(Rcw, tcw, pw, prob, cam, bf, active):
     _, _, _, chi2, delta2, depth_ok = _obs_terms(Rcw, tcw, pw, prob, cam, bf)
-    w = (active & prob.obs_valid & depth_ok).astype(chi2.dtype)
-    return jnp.sum(huber_cost(chi2, delta2) * w)
+    w_act = (active & prob.obs_valid).astype(chi2.dtype)
+    w = w_act * depth_ok
+    # Behind-camera observations must COST, not vanish — otherwise a
+    # candidate that throws the map behind the cameras scores a perfect
+    # zero and LM accepts it (observed failure mode).
+    penalty = huber_cost(jnp.asarray(1e4, chi2.dtype), delta2)
+    return jnp.sum(huber_cost(chi2, delta2) * w) \
+        + jnp.sum(penalty * w_act * (~depth_ok))
 
 
 def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
@@ -236,7 +242,15 @@ def local_ba(
         Rcw, tcw, pw, cost = lm_stage(Rcw, tcw, pw, active, n)
         _, _, _, chi2, delta2, depth_ok = _obs_terms(
             Rcw, tcw, pw, prob, cam, bf)
-        active = (chi2 <= delta2) & depth_ok
+        gated = (chi2 <= delta2) & depth_ok
+        # Degenerate-gating guard: if the previous stage hasn't converged
+        # (e.g. a freshly loop-corrected map where every residual is still
+        # large), the chi2 cut would deactivate nearly everything and leave
+        # the next stage unconstrained (NaN). Keep the full set in that
+        # case and let Huber weights do the down-weighting.
+        frac = jnp.sum((gated & prob.obs_valid).astype(jnp.float32)) \
+            / jnp.maximum(jnp.sum(prob.obs_valid.astype(jnp.float32)), 1.0)
+        active = jnp.where(frac > 0.2, gated, prob.obs_valid)
 
     return BAResult(
         Rcw=Rcw, tcw=tcw, pw=pw,

@@ -85,6 +85,14 @@ def _chi2(r, inv_sigma2, stereo):
     return sq * inv_sigma2
 
 
+def _robust_cost(chi2, delta2, w_active, depth_ok):
+    """Huber total with a saturation penalty for behind-camera points
+    (zero-weighting them lets degenerate poses score 0 and win)."""
+    penalty = huber_cost(jnp.asarray(1e4, chi2.dtype), delta2)
+    return jnp.sum(huber_cost(chi2, delta2) * w_active * depth_ok) \
+        + jnp.sum(penalty * w_active * (~depth_ok))
+
+
 class PoseOptResult(NamedTuple):
     Rcw: jax.Array
     tcw: jax.Array
@@ -130,12 +138,12 @@ def pose_optimization(
                  * w_active * depth_ok)
             H = jnp.einsum("nri,n,nrj->ij", J, w, J)
             b = -jnp.einsum("nri,n,nr->i", J, w, r)
-            cost = jnp.sum(huber_cost(chi2, delta2) * w_active * depth_ok)
+            cost = _robust_cost(chi2, delta2, w_active, depth_ok)
             return H, b, cost
 
         def cost_fn(pose):
             chi2, delta2, depth_ok = chi2_of(pose, active)
-            return jnp.sum(huber_cost(chi2, delta2) * w_active * depth_ok)
+            return _robust_cost(chi2, delta2, w_active, depth_ok)
 
         return system_fn, cost_fn
 

@@ -67,7 +67,11 @@ class System:
         if new_kf is not None and not self.cfg.localization_only:
             self.mapper.process_keyframe(new_kf)
             if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(new_kf)
+                if self.loop_closer.process_keyframe(new_kf):
+                    # Loop closed: grind the pose-graph solution down with
+                    # a global BA (the reference's GBA thread,
+                    # LoopClosing::RunGlobalBundleAdjustment).
+                    self.mapper.run_global_ba()
             # Local BA may have moved the new KF (and the map): rebase the
             # tracker's pose so the next prediction is map-consistent.
             self.tracker.rebase_to_keyframe(new_kf)
@@ -100,6 +104,11 @@ class System:
             f.write(self.trajectory_tum())
 
     # ------------------------------------------------------------------
+
+    def final_global_ba(self):
+        """System::FinalGBA (System.cc:24): one full-map BA at shutdown,
+        the reference's with/without-full-BA A/B output."""
+        self.mapper.run_global_ba(stage_iters=(10, 15))
 
     def shutdown(self):
         """Flush pending device work (System::Shutdown)."""
