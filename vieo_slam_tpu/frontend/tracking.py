@@ -29,6 +29,7 @@ from ..map.map_state import MapState
 from ..ops import matching
 from ..solvers.motion_ba import PoseObs, pose_optimization
 from .frame import Frame
+from ..ops import matching as _matching
 
 
 class TrackState(enum.Enum):
@@ -54,6 +55,7 @@ class TrackerConfig:
     # (stage1 rounds, stage1 iters, stage2 rounds, stage2 iters):
     # latency/accuracy knob; each LM iteration is serial device latency.
     schedule: tuple = (3, 6, 2, 4)
+    opt_mode: str = "lm"             # "gn" = latency mode (see motion_ba)
 
 
 class TrackKernelResult(NamedTuple):
@@ -65,7 +67,7 @@ class TrackKernelResult(NamedTuple):
     in_frustum: jax.Array   # [LC] landmark projected into the image
 
 
-@functools.partial(jax.jit, static_argnames=("schedule",))
+@functools.partial(jax.jit, static_argnames=("schedule", "opt_mode"))
 def _track_kernel(
     Rcw0, tcw0,
     lm_pw, lm_desc, lm_level, lm_valid,
@@ -76,6 +78,7 @@ def _track_kernel(
     bf,
     cam: cm.Camera,
     schedule: tuple = (2, 3, 2, 2),
+    opt_mode: str = "lm",
 ):
     """Two-stage frame tracking against a local-landmark slab.
 
@@ -106,7 +109,8 @@ def _track_kernel(
             valid=matched,
         )
         res = pose_optimization(Rcw, tcw, obs, cam, bf,
-                                rounds=rounds, iters_per_round=iters)
+                                rounds=rounds, iters_per_round=iters,
+                                mode=opt_mode)
         return res, idx, vis
 
     # Stricter gates than the reference's TH_HIGH: prediction-consistent
@@ -151,6 +155,9 @@ class Tracker:
         self.last_result: Optional[TrackKernelResult] = None
         self.last_lm_ids: Optional[np.ndarray] = None
         self.last_new_kf: Optional[int] = None  # KF created this frame
+        self.external_prediction = None  # (Rcw, tcw) from IMU propagation
+        self.last_slab = None            # (pw, lm_ids) of the last track
+        self._mono_init_frame: Optional[Frame] = None
         # trajectory log: (timestamp, Rcw, tcw, state)
         self.trajectory = []
 
@@ -189,6 +196,10 @@ class Tracker:
         self.tcw = self.map.kf_tcw[k].copy()
 
     def _predict_pose(self):
+        if self.external_prediction is not None:
+            R, t = self.external_prediction
+            self.external_prediction = None
+            return R.astype(np.float32), t.astype(np.float32)
         if self.velocity is None:
             return self.Rcw, self.tcw
         dR, dt = self.velocity
@@ -200,7 +211,11 @@ class Tracker:
         """Main per-frame entry (Tracking::Track)."""
         self.last_new_kf = None
         if self.state == TrackState.NOT_INITIALIZED:
-            self._stereo_initialization(frame)
+            has_depth = int((np.asarray(frame.depth) > 0).sum())
+            if has_depth >= 100:
+                self._stereo_initialization(frame)
+            else:
+                self._monocular_initialization(frame)
         else:
             self._track_frame(frame)
         self.trajectory.append(
@@ -241,6 +256,79 @@ class Tracker:
         self.ref_tracked = len(kp_idx)
         self.state = TrackState.OK
 
+    def _monocular_initialization(self, frame: Frame):
+        """Two-view init (Tracking::MonocularInitialization +
+        Initializer::Initialize): essential-matrix RANSAC between a held
+        reference frame and the current one; on success the map scale is
+        normalized to unit median depth (CreateInitialMapMonocular)."""
+        from ..solvers.initializer import monocular_init
+
+        if self._mono_init_frame is None:
+            if int(np.asarray(frame.valid).sum()) >= 100:
+                self._mono_init_frame = frame
+            return
+        f0 = self._mono_init_frame
+        idx, _ = _matching.match_descriptors(
+            f0.desc, frame.desc, f0.valid, frame.valid,
+            max_dist=60, ratio=0.8)
+        idx = np.asarray(idx)
+        rows = np.nonzero(idx >= 0)[0]
+        if rows.size < 100:
+            # too little overlap: re-anchor on the current frame
+            self._mono_init_frame = frame
+            return
+        n_cap = f0.uv.shape[0]
+        uv1 = np.zeros((n_cap, 2), np.float32)
+        uv2 = np.zeros((n_cap, 2), np.float32)
+        val = np.zeros(n_cap, bool)
+        m = rows.size
+        uv1[:m] = np.asarray(f0.uv)[rows]
+        uv2[:m] = np.asarray(frame.uv)[idx[rows]]
+        val[:m] = True
+        res = monocular_init(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(val),
+            self.cam, jax.random.PRNGKey(self.frame_id))
+        if not bool(res.ok):
+            return
+        good = np.asarray(res.good)[:m]
+        pw = np.asarray(res.pw)[:m]
+        # Normalize scale: unit median depth (reference invMedianDepth).
+        med = float(np.median(pw[good, 2])) if good.any() else 1.0
+        if not np.isfinite(med) or med <= 1e-6:
+            return
+        inv = 1.0 / med
+        pw = pw * inv
+        R21 = np.asarray(res.R21, np.float32)
+        t21 = np.asarray(res.t21, np.float32) * inv
+
+        kp0 = rows[good]
+        kp1 = idx[rows][good]
+        lm_ids = self.map.add_landmarks(
+            pw[good].astype(np.float32),
+            np.asarray(f0.desc)[kp0], first_kf=0)
+        lm0 = np.full(n_cap, -1, np.int32)
+        lm1 = np.full(frame.uv.shape[0], -1, np.int32)
+        lm0[kp0] = lm_ids
+        lm1[kp1] = lm_ids
+        # KF 0 at identity, KF 1 at (R21, t21).
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        self.map.add_keyframe(
+            Rcw=self.Rcw, tcw=self.tcw, timestamp=float(f0.timestamp),
+            frame_id=self.frame_id - 1,
+            uv=np.asarray(f0.uv), level=np.asarray(f0.level),
+            desc=np.asarray(f0.desc), ur=np.asarray(f0.ur),
+            depth=np.asarray(f0.depth), kp_valid=np.asarray(f0.valid),
+            lm_idx=lm0)
+        self.Rcw = R21
+        self.tcw = t21
+        k1 = self._insert_keyframe(frame, lm1)
+        self.last_kf_id = k1
+        self.last_new_kf = k1
+        self.ref_tracked = int(good.sum())
+        self.state = TrackState.OK
+        self._mono_init_frame = None
+
     # ------------------------------------------------------------------
 
     def _track_frame(self, frame: Frame):
@@ -262,6 +350,7 @@ class Tracker:
             jnp.asarray(self.bf, jnp.float32),
             self.cam,
             schedule=self.cfg.schedule,
+            opt_mode=self.cfg.opt_mode,
         )
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:
@@ -279,6 +368,7 @@ class Tracker:
                 jnp.asarray(self.bf, jnp.float32),
                 self.cam,
                 schedule=self.cfg.schedule,
+                opt_mode=self.cfg.opt_mode,
             )
             n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:
@@ -295,6 +385,7 @@ class Tracker:
         self.state = TrackState.OK
         self.last_result = res
         self.last_lm_ids = lm_ids
+        self.last_slab = (pw, lm_ids)
         self.frames_since_kf += 1
         # found/visible bookkeeping (MapPoint::IncreaseVisible/Found): the
         # ratio cull kills landmarks that keep failing association (bad

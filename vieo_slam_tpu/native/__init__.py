@@ -1,0 +1,160 @@
+"""Native (C++) runtime components with ctypes bindings.
+
+The TPU compute path is JAX/XLA/Pallas; the host runtime around it —
+high-rate sensor ingest, ring buffers, time-window splicing — is C++
+(the reference's equivalents are the mutexed odometry lists and thread
+machinery, SURVEY.md components 22 and the Tracking::CacheOdom path).
+
+Build happens on first import (g++ -O2 -shared), cached next to the
+source; a pure-numpy fallback keeps every feature usable if no compiler
+is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_native.so")
+_SRC = [os.path.join(_DIR, "odom_buffer.cc")]
+
+
+def _build() -> str | None:
+    try:
+        newest_src = max(os.path.getmtime(s) for s in _SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
+            return _SO
+        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+               "-o", _SO] + _SRC
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _SO
+    except Exception:
+        return None
+
+
+_lib = None
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        so = _build()
+        if so is None:
+            return None
+        _lib = ctypes.CDLL(so)
+        _lib.odom_ring_create.restype = ctypes.c_void_p
+        _lib.odom_ring_create.argtypes = [ctypes.c_int64]
+        _lib.odom_ring_destroy.argtypes = [ctypes.c_void_p]
+        _lib.odom_ring_push.argtypes = [
+            ctypes.c_void_p, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.float32, flags="C")]
+        _lib.odom_ring_push_bulk.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            ctypes.c_int64]
+        _lib.odom_ring_size.restype = ctypes.c_int64
+        _lib.odom_ring_size.argtypes = [ctypes.c_void_p]
+        _lib.odom_ring_latest_time.restype = ctypes.c_double
+        _lib.odom_ring_latest_time.argtypes = [ctypes.c_void_p]
+        _lib.odom_ring_window.restype = ctypes.c_int64
+        _lib.odom_ring_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C")]
+    return _lib
+
+
+class OdomRing:
+    """Timestamped 6-channel sample ring with windowed extraction.
+
+    Uses the C++ implementation when available; numpy fallback otherwise.
+    """
+
+    def __init__(self, capacity: int = 1 << 16):
+        self.capacity = capacity
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._h = self._lib.odom_ring_create(capacity)
+        else:
+            self._t = np.zeros(capacity, np.float64)
+            self._v = np.zeros((capacity, 6), np.float32)
+            self._n = 0
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and \
+                getattr(self, "_h", None):
+            self._lib.odom_ring_destroy(self._h)
+            self._h = None
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def push(self, t: float, v6):
+        v6 = np.ascontiguousarray(v6, np.float32)
+        if self._lib is not None:
+            self._lib.odom_ring_push(self._h, float(t), v6)
+        else:
+            self._t[self._n % self.capacity] = t
+            self._v[self._n % self.capacity] = v6
+            self._n += 1
+
+    def push_bulk(self, ts, v6s):
+        ts = np.ascontiguousarray(ts, np.float64)
+        v6s = np.ascontiguousarray(v6s, np.float32)
+        if self._lib is not None:
+            self._lib.odom_ring_push_bulk(self._h, ts, v6s, len(ts))
+        else:
+            for t, v in zip(ts, v6s):
+                self.push(t, v)
+
+    def size(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.odom_ring_size(self._h))
+        return min(self._n, self.capacity)
+
+    def latest_time(self) -> float:
+        if self._lib is not None:
+            return float(self._lib.odom_ring_latest_time(self._h))
+        if self._n == 0:
+            return -1.0
+        return float(self._t[(self._n - 1) % self.capacity])
+
+    def window(self, t0: float, t1: float, cap: int):
+        """Padded window covering (t0, t1]; returns (vals [cap, 6],
+        dts [cap], mask [cap] bool, n_total)."""
+        vals = np.zeros((cap, 6), np.float32)
+        dts = np.zeros(cap, np.float32)
+        mask = np.zeros(cap, np.uint8)
+        if self._lib is not None:
+            n = int(self._lib.odom_ring_window(
+                self._h, float(t0), float(t1), cap, vals, dts, mask))
+            return vals, dts, mask.astype(bool), n
+        # numpy fallback
+        n_avail = min(self._n, self.capacity)
+        start = self._n - n_avail
+        idx = (np.arange(start, self._n)) % self.capacity
+        t = self._t[idx]
+        v = self._v[idx]
+        i0 = np.searchsorted(t, t0, side="right")
+        i0 = max(i0 - 1, 0)
+        out = 0
+        for i in range(i0, n_avail - 1):
+            if t[i] >= t1:
+                break
+            ta, tb = max(t[i], t0), min(t[i + 1], t1)
+            if tb - ta <= 0:
+                continue
+            if out < cap:
+                vals[out] = v[i]
+                dts[out] = tb - ta
+                mask[out] = 1
+            out += 1
+        return vals, dts, mask.astype(bool), out

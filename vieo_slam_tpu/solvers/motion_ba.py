@@ -110,6 +110,7 @@ def pose_optimization(
     *,
     rounds: int = 4,
     iters_per_round: int = 10,
+    mode: str = "lm",
 ) -> PoseOptResult:
     """Optimize one camera pose against fixed landmarks.
 
@@ -157,8 +158,24 @@ def pose_optimization(
     H = jnp.zeros((6, 6), tcw0.dtype)
     for _ in range(rounds):
         system_fn, cost_fn = make_fns(active)
-        pose, _, H = lm_solve(system_fn, cost_fn, retract, pose,
-                              iters=iters_per_round)
+        if mode == "gn":
+            # Latency mode: fixed-damping Gauss-Newton, no accept/reject
+            # (one residual evaluation per step, half the serial chain on
+            # TPU). Tracking converges in 2-3 steps from the motion-model
+            # prediction; the chi2 rounds still provide robustness.
+            def gn_step(p, _):
+                Hs, b, _ = system_fn(p)
+                A = Hs + 1e-4 * jnp.diagonal(Hs).max() \
+                    * jnp.eye(6, dtype=Hs.dtype)
+                dx = jnp.linalg.solve(A, b)
+                return retract(p, dx), None
+
+            pose, _ = jax.lax.scan(gn_step, pose, None,
+                                   length=iters_per_round)
+            H, _, _ = system_fn(pose)
+        else:
+            pose, _, H = lm_solve(system_fn, cost_fn, retract, pose,
+                                  iters=iters_per_round)
         chi2, delta2, depth_ok = chi2_of(pose, active)
         active = (chi2 <= delta2) & depth_ok
 

@@ -24,7 +24,7 @@ import numpy as np
 from .backend.local_mapping import LocalMapper, LocalMappingConfig
 from .cameras import models as cm
 from .frontend.frame import Frame
-from .frontend.tracking import Tracker, TrackerConfig, TrackState
+from .frontend.tracking import Tracker, TrackerConfig, TrackState  # noqa: F401
 from .map.map_state import MapConfig, MapState
 
 
@@ -63,6 +63,13 @@ class System:
         """Track one pre-built Frame (feature-level entry; image-level
         wrappers in frontend.frame build Frames from pixels)."""
         state = self.tracker.track(frame)
+        if state == TrackState.LOST and self.loop_closer is not None:
+            # Relocalization against the keyframe database
+            # (Tracking::Relocalization path).
+            from .frontend.relocalization import try_relocalize
+
+            if try_relocalize(self, self.loop_closer, frame):
+                state = self.tracker.state
         new_kf = self.tracker.last_new_kf
         if new_kf is not None and not self.cfg.localization_only:
             self.mapper.process_keyframe(new_kf)

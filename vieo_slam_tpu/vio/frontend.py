@@ -1,0 +1,329 @@
+"""VIO frontend: IMU-fused tracking around the visual System.
+
+The orchestration equivalent of the reference's VIO paths in Tracking
+(TrackWithIMU :261, PredictNavStateByIMU :385, PreIntegration scheduling
+:157, TrackLocalMapWithIMU :453) plus the IMUInitialization thread
+(src/Odom/IMUInitialization.cpp): odometry ingest goes to the native ring
+buffer (System::TrackOdom / CacheOdom), per-frame IMU windows are
+preintegrated by the jitted scan kernel, the IMU propagation provides the
+pose prediction, and after visual tracking the 30D joint VIO motion BA
+(solvers/vio_ba) fuses vision + IMU and carries the 15D marginal prior
+frame to frame. VI initialization (vio/initialization) fires once enough
+keyframe baseline has accumulated.
+
+Wheel-encoder samples ride the same machinery (a second ring + encoder
+preintegration fed to the same joint solve) — the VEO/VIEO modes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import lie
+from ..math.navstate import NavState, navstate_from_tcw, tcw_from_navstate
+from ..math.preintegration import preintegrate_imu, preintegrate_encoder
+from ..native import OdomRing
+from ..solvers.motion_ba import PoseObs
+from ..solvers.vio_ba import vio_pose_optimization
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("sigma_bg_rw", "sigma_ba_rw"))
+def _fused_solve(ns_last, ns_cur0, pre, obs, cam, Rcb, tcb, bf,
+                 prior_info, gravity, sigma_bg_rw, sigma_ba_rw):
+    """Jitted joint VIO solve; the prior is always present (a negligible
+    1e-6*I before the first marginalization) so one compiled program
+    serves every frame."""
+    return vio_pose_optimization(
+        ns_last, ns_cur0, pre, obs, cam, Rcb, tcb, bf,
+        prior_info=prior_info, last_fixed=False,
+        sigma_bg_rw=sigma_bg_rw, sigma_ba_rw=sigma_ba_rw,
+        gravity=gravity)
+from ..system import System
+from .initialization import try_init_vio
+
+
+@dataclasses.dataclass
+class VioConfig:
+    sigma_g: float = 1.7e-4
+    sigma_a: float = 2e-3
+    sigma_bg_rw: float = 2e-4
+    sigma_ba_rw: float = 2e-3
+    window_cap: int = 64            # IMU samples per frame gap
+    init_window_cap: int = 512      # IMU samples per KF gap at init
+    init_min_kfs: int = 12
+    init_min_span: float = 4.0      # seconds of KF baseline (ref: 15 s)
+    solve_scale: bool = False       # stereo/RGB-D
+    # encoder (VEO/VIEO)
+    use_encoder: bool = False
+    enc_half_track: float = 0.28
+    enc_sigma_v: float = 0.01
+
+
+class VioFrontend:
+    """System wrapper adding IMU (+ optional encoder) fusion."""
+
+    def __init__(self, system: System, Rcb=None, tcb=None,
+                 cfg: Optional[VioConfig] = None):
+        self.sys = system
+        self.cfg = cfg or VioConfig()
+        self.Rcb = np.eye(3, dtype=np.float32) if Rcb is None else \
+            np.asarray(Rcb, np.float32)
+        self.tcb = np.zeros(3, np.float32) if tcb is None else \
+            np.asarray(tcb, np.float32)
+        self.ring = OdomRing(1 << 16)
+        self.enc_ring = OdomRing(1 << 14) if self.cfg.use_encoder else None
+        self.inited = False
+        self.gw = np.array([0.0, 0.0, -9.81], np.float32)
+        self.bg = np.zeros(3, np.float32)
+        self.ba = np.zeros(3, np.float32)
+        self.ns_last: Optional[NavState] = None
+        self.prior_info = None
+        self.last_t: Optional[float] = None
+        self.kf_times: list[tuple[int, float]] = []   # (kf_id, timestamp)
+
+    # ------------------------------------------------------------------
+
+    def track_odom(self, t: float, gyro, acc):
+        """System::TrackOdom / Tracking::CacheOdom."""
+        self.ring.push(t, np.concatenate([gyro, acc]).astype(np.float32))
+
+    def track_encoder(self, t: float, v_left: float, v_right: float):
+        v = np.zeros(6, np.float32)
+        v[0], v[1] = v_left, v_right
+        self.enc_ring.push(t, v)
+
+    # ------------------------------------------------------------------
+
+    def _preintegrate(self, t0: float, t1: float, cap: int,
+                      bg=None, ba=None):
+        vals, dts, mask, _ = self.ring.window(t0, t1, cap)
+        bg = self.bg if bg is None else bg
+        ba = self.ba if ba is None else ba
+        return preintegrate_imu(
+            jnp.asarray(vals[:, :3]), jnp.asarray(vals[:, 3:]),
+            jnp.asarray(dts), jnp.asarray(bg), jnp.asarray(ba),
+            self.cfg.sigma_g, self.cfg.sigma_a, mask=jnp.asarray(mask),
+        )
+
+    def _propagate(self, ns: NavState, pre) -> NavState:
+        """IMU state propagation (Tracking::PredictNavStateByIMU)."""
+        g = jnp.asarray(self.gw)
+        dt = pre.dt
+        dbg = ns.bg + ns.dbg - pre.bg
+        dba = ns.ba + ns.dba - pre.ba
+        dR, dv, dp = pre.corrected(dbg, dba)
+        R_j = ns.R @ dR
+        v_j = ns.v + g * dt + ns.R @ dv
+        p_j = ns.p + ns.v * dt + 0.5 * g * dt * dt + ns.R @ dp
+        return ns._replace(R=R_j, v=v_j, p=p_j)
+
+    # ------------------------------------------------------------------
+
+    def track_frame(self, frame):
+        t = float(frame.timestamp)
+        tr = self.sys.tracker
+        pre = None
+        if self.inited and self.last_t is not None:
+            pre = self._preintegrate(self.last_t, t, self.cfg.window_cap)
+            ns_pred = self._propagate(self.ns_last, pre)
+            Rcw, tcw = tcw_from_navstate(
+                ns_pred, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+            tr.external_prediction = (np.asarray(Rcw), np.asarray(tcw))
+
+        state = self.sys.track_frame(frame)
+
+        if state.name in ("OK",):
+            if self.inited and pre is not None:
+                self._fuse(frame, pre)
+            else:
+                # Maintain a vision-only NavState (R, p from pose).
+                ns = navstate_from_tcw(
+                    jnp.asarray(tr.Rcw), jnp.asarray(tr.tcw),
+                    jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+                v = jnp.zeros(3) if self.ns_last is None else (
+                    (ns.p - self.ns_last.p)
+                    / max(t - (self.last_t or t) or 1e-3, 1e-3))
+                self.ns_last = ns._replace(
+                    v=v, bg=jnp.asarray(self.bg), ba=jnp.asarray(self.ba))
+            if tr.last_new_kf is not None:
+                self.kf_times.append((tr.last_new_kf, t))
+                self._store_kf_navstate(tr.last_new_kf)
+                if not self.inited:
+                    self._maybe_init()
+        self.last_t = t
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _fuse(self, frame, pre):
+        """Joint VIO motion BA + marginal prior carry (TrackWithIMU)."""
+        tr = self.sys.tracker
+        res = tr.last_result
+        if res is None or tr.last_slab is None:
+            return
+        pw, lm_ids = tr.last_slab
+        match = np.asarray(res.lm_match)
+        inl = np.asarray(res.inlier)
+        kp = np.clip(match, 0, None)
+        f_uv = np.asarray(frame.uv)[kp]
+        f_ur = np.asarray(frame.ur)[kp]
+        f_lvl = np.asarray(frame.level)[kp]
+        valid = (match >= 0) & inl
+        obs = PoseObs(
+            pw=jnp.asarray(pw),
+            uv=jnp.asarray(f_uv),
+            ur=jnp.asarray(f_ur),
+            inv_sigma2=jnp.asarray(
+                self.sys.map.inv_sigma2[np.clip(f_lvl, 0, None)]),
+            valid=jnp.asarray(valid),
+        )
+        ns_vis = navstate_from_tcw(
+            jnp.asarray(tr.Rcw), jnp.asarray(tr.tcw),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+        ns_cur0 = ns_vis._replace(
+            v=self._propagate(self.ns_last, pre).v,
+            bg=self.ns_last.bg, ba=self.ns_last.ba,
+            dbg=self.ns_last.dbg, dba=self.ns_last.dba)
+        enc_pre = None
+        Rbe = tbe = None
+        if self.cfg.use_encoder and self.enc_ring is not None \
+                and self.last_t is not None:
+            ev, edts, emask, _ = self.enc_ring.window(
+                self.last_t, float(frame.timestamp), self.cfg.window_cap)
+            enc_pre = preintegrate_encoder(
+                jnp.asarray(ev[:, 0]), jnp.asarray(ev[:, 1]),
+                jnp.asarray(edts), self.cfg.enc_half_track,
+                self.cfg.enc_sigma_v, mask=jnp.asarray(emask))
+            Rbe = jnp.eye(3)
+            tbe = jnp.zeros(3)
+        prior = self.prior_info if self.prior_info is not None \
+            else 1e-6 * np.eye(15, dtype=np.float32)
+        if enc_pre is not None:
+            # Encoder path (VEO/VIEO): eager call (compiled on first use
+            # per shape via its own jit in future work).
+            out = vio_pose_optimization(
+                self.ns_last, ns_cur0, pre, obs, self.sys.cam,
+                jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.sys.bf,
+                prior_info=jnp.asarray(prior), last_fixed=False,
+                enc_pre=enc_pre, Rbe=Rbe, tbe=tbe,
+                sigma_bg_rw=self.cfg.sigma_bg_rw,
+                sigma_ba_rw=self.cfg.sigma_ba_rw,
+                gravity=jnp.asarray(self.gw),
+            )
+        else:
+            out = _fused_solve(
+                self.ns_last, ns_cur0, pre, obs, self.sys.cam,
+                jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
+                jnp.asarray(self.sys.bf, jnp.float32),
+                jnp.asarray(prior), jnp.asarray(self.gw),
+                self.cfg.sigma_bg_rw, self.cfg.sigma_ba_rw,
+            )
+        if not np.isfinite(np.asarray(out.ns.p)).all():
+            return
+        # Write the fused pose back into the tracker (and its velocity
+        # model continues from it).
+        Rcw, tcw = tcw_from_navstate(
+            out.ns, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+        tr.Rcw = np.asarray(Rcw, np.float32)
+        tr.tcw = np.asarray(tcw, np.float32)
+        self.ns_last = out.ns
+        self.prior_info = np.asarray(out.prior_info)
+
+    # ------------------------------------------------------------------
+
+    def _store_kf_navstate(self, k: int):
+        m = self.sys.map
+        ns = self.ns_last
+        if ns is None:
+            return
+        m.kf_Rwb[k] = np.asarray(ns.R)
+        m.kf_pwb[k] = np.asarray(ns.p)
+        m.kf_vwb[k] = np.asarray(ns.v)
+        m.kf_bg[k] = np.asarray(ns.bg + ns.dbg)
+        m.kf_ba[k] = np.asarray(ns.ba + ns.dba)
+
+    def _maybe_init(self):
+        cfg = self.cfg
+        if len(self.kf_times) < cfg.init_min_kfs:
+            return
+        span = self.kf_times[-1][1] - self.kf_times[0][1]
+        if span < cfg.init_min_span:
+            return
+        m = self.sys.map
+        kf_ids = [k for k, _ in self.kf_times if m.kf_valid[k]]
+        ts = np.asarray([t for k, t in self.kf_times if m.kf_valid[k]],
+                        np.float64)
+        if len(kf_ids) < cfg.init_min_kfs:
+            return
+        N = len(kf_ids)
+        Rcw = m.kf_Rcw[kf_ids]
+        tcw = m.kf_tcw[kf_ids]
+        R_wc = np.swapaxes(Rcw, -1, -2)
+        p_wc = -np.einsum("kij,kj->ki", R_wc, tcw)
+        T = cfg.init_window_cap
+        gyro_w = np.zeros((N - 1, T, 3), np.float32)
+        acc_w = np.zeros((N - 1, T, 3), np.float32)
+        dt_w = np.zeros((N - 1, T), np.float32)
+        mask_w = np.zeros((N - 1, T), bool)
+        for i in range(N - 1):
+            vals, dts, mask, n = self.ring.window(ts[i], ts[i + 1], T)
+            if n > T:
+                return  # window capacity insufficient; wait for re-KF
+            gyro_w[i] = vals[:, :3]
+            acc_w[i] = vals[:, 3:]
+            dt_w[i] = dts
+            mask_w[i] = mask
+        out = try_init_vio(
+            jnp.asarray(ts.astype(np.float32)),
+            jnp.asarray(R_wc @ np.linalg.inv(self.Rcb)
+                        if False else R_wc),  # Rwc; Rcb applied inside
+            jnp.asarray(p_wc.astype(np.float32)),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
+            jnp.asarray(gyro_w), jnp.asarray(acc_w), jnp.asarray(dt_w),
+            jnp.asarray(mask_w),
+            cfg.sigma_g, cfg.sigma_a, solve_scale=cfg.solve_scale,
+        )
+        gw = np.asarray(out.gw)
+        if not np.isfinite(gw).all() or \
+                abs(np.linalg.norm(gw) - 9.81) > 0.5:
+            return
+        self.gw = gw.astype(np.float32)
+        self.bg = np.asarray(out.bg, np.float32)
+        self.ba = np.asarray(out.ba, np.float32)
+        scale = float(out.scale)
+        if cfg.solve_scale and np.isfinite(scale) and scale > 0:
+            # Rescale the whole map (monocular; TryInitVIO step at
+            # IMUInitialization.cpp:1413+ UpdateScale).
+            m.lm_pw[m.lm_valid] *= scale
+            m.kf_tcw[m.kf_valid] *= scale
+            tr = self.sys.tracker
+            tr.tcw = tr.tcw * scale
+        # Per-KF NavStates + velocities.
+        v = np.asarray(out.v)
+        Rwb_all = R_wc @ self.Rcb  # Rwb = Rwc Rcb
+        pcb = -self.Rcb.T @ self.tcb
+        for i, k in enumerate(kf_ids):
+            m.kf_Rwb[k] = Rwb_all[i]
+            m.kf_pwb[k] = (p_wc[i] * (scale if cfg.solve_scale else 1.0)
+                           + R_wc[i] @ pcb)
+            m.kf_vwb[k] = v[i]
+            m.kf_bg[k] = self.bg
+            m.kf_ba[k] = self.ba
+        # Current NavState from the latest KF.
+        k_last = kf_ids[-1]
+        self.ns_last = NavState(
+            R=jnp.asarray(m.kf_Rwb[k_last]),
+            p=jnp.asarray(m.kf_pwb[k_last]),
+            v=jnp.asarray(m.kf_vwb[k_last]),
+            bg=jnp.asarray(self.bg), ba=jnp.asarray(self.ba),
+            dbg=jnp.zeros(3), dba=jnp.zeros(3),
+        )
+        self.prior_info = None
+        self.inited = True
