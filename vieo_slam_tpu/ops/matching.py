@@ -43,9 +43,13 @@ def masked_best2(dist: jax.Array, mask: jax.Array):
     Returns (best_idx [Na], best [Na], second [Na]); masked-out columns get
     INF so rows with no candidates produce best >= INF.
     """
-    d = jnp.where(mask, dist, INF)
+    # top_k on int32 degrades EVERY subsequent program execution ~400x on
+    # the axon backend (measured; float top_k is fine). Hamming distances
+    # are <= 256 so float32 is exact.
+    d = jnp.where(mask, dist, INF).astype(jnp.float32)
     neg, idx = jax.lax.top_k(-d, 2)
-    return idx[:, 0], -neg[:, 0], -neg[:, 1]
+    return (idx[:, 0], (-neg[:, 0]).astype(jnp.int32),
+            (-neg[:, 1]).astype(jnp.int32))
 
 
 def rotation_consistency_mask(
@@ -71,6 +75,9 @@ def mutual_filter(best_idx: jax.Array, na: int, nb: int,
     """Keep a->b matches that are the best for that b too (one-to-one).
 
     Ties are broken by row order via scatter-min on row index.
+    (Scatter variant — prefer mutual_from_dist inside matchers: scatter
+    ops degrade every subsequent program execution ~400x on the axon
+    backend, see TODO.md.)
     """
     owner = jnp.full((nb,), na, jnp.int32)
     rows = jnp.arange(na, dtype=jnp.int32)
@@ -78,6 +85,17 @@ def mutual_filter(best_idx: jax.Array, na: int, nb: int,
         jnp.where(valid, rows, na)
     )
     return valid & (owner[jnp.clip(best_idx, 0)] == rows)
+
+
+def mutual_from_dist(dist: jax.Array, mask: jax.Array,
+                     best_idx: jax.Array, valid: jax.Array) -> jax.Array:
+    """Scatter-free one-to-one filter: keep row a's match to column b only
+    if a is also the argmin of column b (ties by lowest row index via
+    argmin semantics). Uses the already-computed [Na, Nb] distance."""
+    d = jnp.where(mask, dist, INF)
+    col_best_row = jnp.argmin(d, axis=0)                  # [Nb]
+    rows = jnp.arange(dist.shape[0], dtype=col_best_row.dtype)
+    return valid & (col_best_row[jnp.clip(best_idx, 0)] == rows)
 
 
 def match_descriptors(
@@ -99,7 +117,7 @@ def match_descriptors(
     best_idx, best, second = masked_best2(dist, mask)
     ok = (best <= max_dist) & (best.astype(jnp.float32)
                                <= ratio * second.astype(jnp.float32))
-    ok = mutual_filter(best_idx, na, nb, ok)
+    ok = mutual_from_dist(dist, mask, best_idx, ok)
     if angle_a is not None:
         ok = rotation_consistency_mask(angle_a, angle_b, best_idx, ok)
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best, INF)
@@ -142,7 +160,7 @@ def search_by_projection(
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32)
                    <= ratio * second.astype(jnp.float32))
-    ok = mutual_filter(best_idx, proj_uv.shape[0], kp_uv.shape[0], ok)
+    ok = mutual_from_dist(dist, mask, best_idx, ok)
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best, INF)
 
 
@@ -175,7 +193,7 @@ def search_stereo_rectified(
     dist = hamming_matrix(desc_l, desc_r)
     best_idx, best, _ = masked_best2(dist, mask)
     ok = best <= max_dist
-    ok = mutual_filter(best_idx, uv_l.shape[0], uv_r.shape[0], ok)
+    ok = mutual_from_dist(dist, mask, best_idx, ok)
     u_r = uv_r[jnp.clip(best_idx, 0), 0]
     return jnp.where(ok, u_r, -1.0), jnp.where(ok, best_idx, -1)
 
