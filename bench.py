@@ -2,19 +2,23 @@
 
 Measures the production per-frame pipeline — ORB extraction on both stereo
 images (1200 features, 8 levels, 480x752), rectified stereo Hamming
-matching, and the two-stage track kernel (local-map association +
-motion-only robust BA, schedule (3,6,2,4)) — the same work the reference's
-Tracking thread does per frame (SURVEY.md §3.1), against its published
-35.x ms/frame (undistorted, 1200 features, i9-14900HX; BASELINE.md).
+matching (fused Pallas kernel), and the two-stage track kernel (local-map
+association + motion-only robust BA, schedule (3,6,2,4)) — the same work
+the reference's Tracking thread does per frame (SURVEY.md §3.1), against
+its published 35.x ms/frame (undistorted, 1200 features, i9-14900HX;
+BASELINE.md). A 375-feature low-compute row targets the 11.x ms number.
 
-Structure note: the stages run as SEPARATE jits chained per frame — on
-this backend one fused program schedules ~10x slower than its parts
-(TODO.md); per-frame latency is blocked each iteration because the pose
-chain serializes frames.
-
-Prints ONE JSON line:
-  {"metric": "frontend_ms_per_frame", "value": ..., "unit": "ms",
-   "vs_baseline": <reference_ms / ours — speedup factor>}
+Measurement methodology (axon relay, root-caused in round 2):
+  - The relay speculatively ACKs block_until_ready before real device
+    execution while the process has never read device data ("clean mode"),
+    so clean-mode timings are fiction (a 8192^3 matmul "finishes" in 70us).
+  - One device->host read flips the process into real mode permanently;
+    sync round-trips then cost ~30 ms (network RTT), but async dispatch
+    still pipelines.
+  - Therefore: flip to real mode FIRST, warm up, measure the RTT, then
+    chain N frames back-to-back without intermediate blocking (the pose
+    output of frame i feeds frame i+1, so device execution is serialized
+    by the data dependency) and block once; per-frame = (total - RTT) / N.
 """
 
 import json
@@ -23,35 +27,48 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from vieo_slam_tpu.cameras import models as cm
+from vieo_slam_tpu.frontend.frame import Frame
+from vieo_slam_tpu.frontend.tracking import _track_kernel
+from vieo_slam_tpu.ops import matching, orb
 
-import jax.numpy as jnp  # noqa: E402
-
-from vieo_slam_tpu.cameras import models as cm  # noqa: E402
-from vieo_slam_tpu.frontend.frame import Frame  # noqa: E402
-from vieo_slam_tpu.frontend.tracking import _track_kernel  # noqa: E402
-from vieo_slam_tpu.ops import matching, orb  # noqa: E402
-
-BASELINE_MS = 35.0  # reference frontend ms/frame, undistorted 1200 feats
+BASELINE_MS = 35.0       # reference frontend ms/frame, undistorted 1200 feats
+BASELINE_MS_375 = 11.0   # reference low-compute row (README.md:60)
 
 H, W = 480, 752
-N_FEATURES = 1200
 SLAB = 4096
-N_WARMUP = 3
-N_ITERS = 30
+N_FRAMES = 50
 SCHEDULE = (3, 6, 2, 4)
 
 
-def main():
-    cfg = orb.OrbConfig(n_features=N_FEATURES, n_levels=8)
+def force_real_mode():
+    """One tiny device->host read: flips the relay out of the speculative
+    ack mode so all subsequent timing is of real device execution."""
+    y = jax.jit(lambda x: x + 1.0)(jax.device_put(np.ones(8, np.float32)))
+    np.asarray(jax.block_until_ready(y))
+
+
+def measure_rtt():
+    g = jax.jit(lambda x: x * 2.0)
+    x = jax.device_put(np.ones((8, 128), np.float32))
+    jax.block_until_ready(g(x))
+    t0 = time.time()
+    for _ in range(10):
+        jax.block_until_ready(g(x))
+    return (time.time() - t0) / 10
+
+
+def build_pipeline(n_features: int):
+    cfg = orb.OrbConfig(n_features=n_features, n_levels=8)
     cam = cm.make_pinhole(458.0, 458.0, 376.0, 240.0, W, H)
     bf = 458.0 * 0.11
-    inv_sigma2 = jax.device_put(
-        (1.0 / cfg.level_scales ** 2).astype(np.float32))
-    scales = jax.device_put(cfg.level_scales.astype(np.float32))
+    # NUMPY closures, never device arrays: a jit that closes over a DEVICE
+    # array does a device->host read at trace time, which both flips the
+    # relay mode and serializes tracing (root-caused r2; TODO.md).
+    inv_sigma2 = (1.0 / cfg.level_scales ** 2).astype(np.float32)
+    scales = cfg.level_scales.astype(np.float32)
 
     extract = jax.jit(lambda im: orb.extract_orb(im, cfg))
 
@@ -66,8 +83,8 @@ def main():
         return u_r, depth
 
     track = jax.jit(
-        lambda fl, u_r, depth, lm_pw, lm_desc, lm_valid: _track_kernel(
-            jnp.eye(3), jnp.zeros(3),
+        lambda fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t: _track_kernel(
+            R, t,
             lm_pw, lm_desc, jnp.zeros(SLAB, jnp.int32), lm_valid,
             Frame(uv=fl.uv, level=fl.level, angle=fl.angle, desc=fl.desc,
                   ur=u_r, depth=depth, valid=fl.valid,
@@ -76,13 +93,16 @@ def main():
             jnp.asarray(15.0, jnp.float32), jnp.asarray(6.0, jnp.float32),
             jnp.asarray(bf, jnp.float32), cam, schedule=SCHEDULE))
 
-    def frame_step(img_l, img_r, lm_pw, lm_desc, lm_valid):
+    def frame_step(img_l, img_r, lm_pw, lm_desc, lm_valid, R, t):
         fl = extract(img_l)
         fr = extract(img_r)
         u_r, depth = stereo_depth(fl, fr)
-        return track(fl, u_r, depth, lm_pw, lm_desc, lm_valid)
+        return track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t)
 
-    # Stage all inputs on device once (multi-second relay per transfer).
+    return frame_step, (extract, stereo_depth, track)
+
+
+def stage_inputs():
     rng = np.random.RandomState(0)
     B = 4
     base = rng.rand(B, H, W).astype(np.float32) * 200 + 20
@@ -90,8 +110,6 @@ def main():
         ys = rng.randint(20, H - 20, 400)
         xs = rng.randint(20, W - 20, 400)
         base[b, ys, xs] = 255.0
-    # Pre-split per-frame device arrays: an eager `imgs[i]` slice in the
-    # timed loop would be a separate relay dispatch per iteration.
     imgs_l = [jax.device_put(base[b]) for b in range(B)]
     imgs_r = [jax.device_put(np.roll(base[b], -6, axis=1).copy())
               for b in range(B)]
@@ -99,29 +117,42 @@ def main():
         (rng.randn(SLAB, 3) * [2, 1.5, 1] + [0, 0, 6]).astype(np.float32))
     lm_desc = jax.device_put(
         rng.randint(0, 2 ** 32, (SLAB, 8), np.uint64).astype(np.uint32))
-    # NOTE: never run EAGER jax ops in this process (even one jnp.ones
-    # outside jit flips the axon relay into a ~75 ms/execution slow mode,
-    # measured; numpy + device_put keeps the 0.1 ms fast path).
     lm_valid = jax.device_put(np.ones(SLAB, bool))
+    R0 = jax.device_put(np.eye(3, dtype=np.float32))
+    t0 = jax.device_put(np.zeros(3, np.float32))
+    return imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0
 
-    out = None
-    for i in range(N_WARMUP):
-        out = frame_step(imgs_l[i % B], imgs_r[i % B],
-                         lm_pw, lm_desc, lm_valid)
+
+def run_config(n_features: int, rtt: float, inputs) -> float:
+    imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
+    frame_step, _ = build_pipeline(n_features)
+    out = frame_step(imgs_l[0], imgs_r[0], lm_pw, lm_desc, lm_valid, R0, t0)
+    jax.block_until_ready(out)         # compile + warm
+    R, t = R0, t0
+    st = time.time()
+    for i in range(N_FRAMES):
+        out = frame_step(imgs_l[i % 4], imgs_r[i % 4],
+                         lm_pw, lm_desc, lm_valid, R, t)
+        R, t = out.Rcw, out.tcw        # pose chain serializes frames
     jax.block_until_ready(out)
+    return (time.time() - st - rtt) / N_FRAMES * 1e3
 
-    t0 = time.time()
-    for i in range(N_ITERS):
-        out = jax.block_until_ready(
-            frame_step(imgs_l[i % B], imgs_r[i % B],
-                       lm_pw, lm_desc, lm_valid))
-    ms = (time.time() - t0) / N_ITERS * 1e3
 
+def main():
+    force_real_mode()
+    inputs = stage_inputs()
+    rtt = measure_rtt()
+    ms_1200 = run_config(1200, rtt, inputs)
+    ms_375 = run_config(375, rtt, inputs)
     print(json.dumps({
         "metric": "frontend_ms_per_frame",
-        "value": round(ms, 3),
+        "value": round(ms_1200, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 2),
+        "vs_baseline": round(BASELINE_MS / ms_1200, 2),
+        "feat375_ms": round(ms_375, 3),
+        "feat375_vs_baseline": round(BASELINE_MS_375 / ms_375, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
+        "n_frames": N_FRAMES,
     }))
 
 

@@ -188,3 +188,32 @@ class TestStereo:
         d = np.asarray(fl.uv)[ok, 0] - u_r[ok]
         inliers = np.abs(d - disp) < 1.5
         assert inliers.mean() > 0.7
+
+
+class TestMxuGatherEquivalence:
+    """The TPU path replaces XLA gathers with one-hot MXU contractions
+    (exact: 0/1 weights at HIGHEST precision select one element each).
+    Both paths must be bit-identical."""
+
+    def test_gather_patches_exact(self):
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(120, 160).astype(np.float32) * 255)
+        centers = jnp.asarray(np.stack(
+            [rng.randint(0, 160, 50), rng.randint(0, 120, 50)], -1
+        ).astype(np.int32))
+        a = orb.gather_patches(img, centers, 15, mxu=False)
+        b = orb.gather_patches(img, centers, 15, mxu=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_brief_descriptors_exact(self, monkeypatch):
+        rng = np.random.RandomState(1)
+        img = jnp.asarray(rng.rand(120, 160).astype(np.float32) * 255)
+        centers = jnp.asarray(np.stack(
+            [rng.randint(20, 140, 40), rng.randint(20, 100, 40)], -1
+        ).astype(np.int32))
+        angles = jnp.asarray(rng.rand(40).astype(np.float32) * 2 * np.pi)
+        blur = orb.gaussian_blur7(img)
+        d1 = orb.brief_descriptors(blur, centers, angles)
+        monkeypatch.setattr(orb, "_use_mxu_gather", lambda: True)
+        d2 = orb.brief_descriptors(blur, centers, angles)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

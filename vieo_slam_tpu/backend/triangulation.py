@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cameras import models as cm
+from ..ops.matching import lookup_small
 from ..math import lie
 from ..ops import matching
 
@@ -61,7 +62,7 @@ def triangulate_pair(
     den = jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None] + 1e-12
     f = 0.5 * (cam.fx + cam.fy)
     epi_px = f * num / den
-    sig = level_scales[jnp.clip(level2, 0)][None, :]
+    sig = lookup_small(level_scales, level2)[None, :]
     epi_ok = epi_px <= jnp.sqrt(epipolar_sigma) * sig
 
     idx, dist = matching.match_descriptors(
@@ -92,9 +93,9 @@ def triangulate_pair(
     uvh1 = cm.project(cam, pc1)
     uvh2 = cm.project(cam, pc2)
     e1 = jnp.sum((uvh1 - uv1) ** 2, axis=-1) \
-        * inv_sigma2_tab[jnp.clip(level1, 0)]
+        * lookup_small(inv_sigma2_tab, level1)
     e2 = jnp.sum((uvh2 - uv2[kp2]) ** 2, axis=-1) \
-        * inv_sigma2_tab[jnp.clip(level2[kp2], 0)]
+        * lookup_small(inv_sigma2_tab, level2[kp2])
     reproj_ok = (e1 < 5.991) & (e2 < 5.991)
 
     good = matched & depth_ok & parallax_ok & reproj_ok

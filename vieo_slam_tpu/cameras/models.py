@@ -20,6 +20,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PINHOLE = 0
 RADTAN = 1
@@ -57,27 +58,36 @@ class Camera:
         return dataclasses.replace(self, **kw)
 
 
-def make_pinhole(fx, fy, cx, cy, width, height, Rcr=None, tcr=None, dtype=jnp.float32):
+def make_pinhole(fx, fy, cx, cy, width, height, Rcr=None, tcr=None,
+                 dtype=None):
+    # Leaves are NUMPY on purpose: a Camera is typically closed over by
+    # jitted pipelines, and closure-captured DEVICE arrays force a
+    # device->host read at trace time — on the axon TPU relay that one
+    # read permanently degrades the whole process's sync latency ~300x
+    # (measured; see TODO.md). numpy constants embed host-side for free.
+    dtype = np.float32 if dtype is None else dtype
     return Camera(
-        fx=jnp.asarray(fx, dtype), fy=jnp.asarray(fy, dtype),
-        cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
-        dist=jnp.zeros((4,), dtype),
-        Rcr=jnp.eye(3, dtype=dtype) if Rcr is None else jnp.asarray(Rcr, dtype),
-        tcr=jnp.zeros((3,), dtype) if tcr is None else jnp.asarray(tcr, dtype),
+        fx=np.asarray(fx, dtype), fy=np.asarray(fy, dtype),
+        cx=np.asarray(cx, dtype), cy=np.asarray(cy, dtype),
+        dist=np.zeros((4,), dtype),
+        Rcr=np.eye(3, dtype=dtype) if Rcr is None else np.asarray(Rcr, dtype),
+        tcr=np.zeros((3,), dtype) if tcr is None else np.asarray(tcr, dtype),
         kind=PINHOLE, width=int(width), height=int(height),
     )
 
 
 def make_radtan(fx, fy, cx, cy, dist, width, height, Rcr=None, tcr=None,
-                dtype=jnp.float32):
+                dtype=None):
+    dtype = np.float32 if dtype is None else dtype
     cam = make_pinhole(fx, fy, cx, cy, width, height, Rcr, tcr, dtype)
-    return cam._replace(kind=RADTAN, dist=jnp.asarray(dist, dtype))
+    return cam._replace(kind=RADTAN, dist=np.asarray(dist, dtype))
 
 
 def make_kb8(fx, fy, cx, cy, dist, width, height, Rcr=None, tcr=None,
-             dtype=jnp.float32):
+             dtype=None):
+    dtype = np.float32 if dtype is None else dtype
     cam = make_pinhole(fx, fy, cx, cy, width, height, Rcr, tcr, dtype)
-    return cam._replace(kind=KB8, dist=jnp.asarray(dist, dtype))
+    return cam._replace(kind=KB8, dist=np.asarray(dist, dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -105,7 +105,8 @@ def _track_kernel(
             pw=lm_pw,
             uv=frame.uv[kp],
             ur=frame.ur[kp],
-            inv_sigma2=inv_sigma2_tab[jnp.clip(frame.level[kp], 0)],
+            inv_sigma2=matching.lookup_small(inv_sigma2_tab,
+                                             frame.level[kp]),
             valid=matched,
         )
         res = pose_optimization(Rcw, tcw, obs, cam, bf,

@@ -17,10 +17,77 @@ All matchers return fixed-capacity index arrays with -1 for "no match".
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-INF = jnp.int32(1 << 30)
+from . import pallas_matching
+
+# Python int, NOT a device scalar: module-level jnp constants get
+# closure-captured by jits and force a trace-time device->host read
+# (permanently degrades the axon relay; TODO.md).
+INF = 1 << 30
+
+_BACKEND = None
+
+
+def _use_pallas() -> bool:
+    """True when the fused Pallas Hamming kernel should be used (TPU).
+
+    The XLA-lowered Hamming+selection program flips the axon backend into
+    a ~75 ms/execution degraded mode (TODO.md bisection); the Pallas
+    kernel bypasses that lowering entirely and keeps the [M, N] distance
+    matrix in VMEM. On CPU (the test mesh) the XLA path is used unless
+    VIEO_FORCE_PALLAS=1 (which runs the kernel in interpret mode).
+    """
+    global _BACKEND
+    force = os.environ.get("VIEO_FORCE_PALLAS")
+    if force is not None:
+        return force == "1"
+    if _BACKEND is None:
+        _BACKEND = jax.default_backend()
+    return _BACKEND == "tpu"
+
+
+def _best2(desc_a, desc_b, mask):
+    """Fused masked Hamming + row-best2 + column-best dispatch.
+
+    Returns (best_idx [Na] i32, best [Na] i32, second [Na] i32,
+    col_best_row [Nb] i32). Masked-out rows give best = INF.
+    """
+    if _use_pallas():
+        interpret = jax.default_backend() != "tpu"
+        return pallas_matching.fused_best2(desc_a, desc_b, mask,
+                                           interpret=interpret)
+    dist = hamming_matrix(desc_a, desc_b)
+    best_idx, best, second = masked_best2(dist, mask)
+    d = jnp.where(mask, dist, INF)
+    col_best_row = jnp.argmin(d, axis=0).astype(jnp.int32)
+    return best_idx, best, second, col_best_row
+
+
+def _mutual(col_best_row, best_idx, valid):
+    """One-to-one filter: keep row a's match to column b only if a is also
+    the best row of column b (ties to lowest row via argmin semantics)."""
+    rows = jnp.arange(best_idx.shape[0], dtype=jnp.int32)
+    return valid & (col_best_row[jnp.clip(best_idx, 0)] == rows)
+
+
+def lookup_small(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather-free small-table lookup: table[clip(idx, 0, T-1)].
+
+    Gathers from SMALL tables (the 8-entry pyramid scale/sigma tables)
+    lower into a pathological program on the axon TPU relay — one such op
+    degrades every subsequent program execution in the process ~400x
+    (measured; big-table gathers, take, and segment_sum are clean). An
+    8-wide one-hot contraction is exact and VPU-trivial.
+    """
+    T = table.shape[0]
+    ids = jnp.arange(T, dtype=jnp.int32)
+    idc = jnp.clip(idx, 0, T - 1).astype(jnp.int32)
+    oh = (idc[..., None] == ids)                # [..., T]
+    return jnp.sum(jnp.where(oh, table, jnp.zeros_like(table)), axis=-1)
 
 # Reference thresholds (ORBmatcher.h TH_LOW/TH_HIGH, HISTO_LENGTH).
 TH_LOW = 50
@@ -109,15 +176,13 @@ def match_descriptors(
 
     Returns (idx [Na] int32 with -1 for unmatched, dist [Na] int32).
     """
-    na, nb = desc_a.shape[0], desc_b.shape[0]
-    dist = hamming_matrix(desc_a, desc_b)
     mask = valid_a[:, None] & valid_b[None, :]
     if extra_mask is not None:
         mask = mask & extra_mask
-    best_idx, best, second = masked_best2(dist, mask)
+    best_idx, best, second, col_best = _best2(desc_a, desc_b, mask)
     ok = (best <= max_dist) & (best.astype(jnp.float32)
                                <= ratio * second.astype(jnp.float32))
-    ok = mutual_from_dist(dist, mask, best_idx, ok)
+    ok = _mutual(col_best, best_idx, ok)
     if angle_a is not None:
         ok = rotation_consistency_mask(angle_a, angle_b, best_idx, ok)
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best, INF)
@@ -149,18 +214,17 @@ def search_by_projection(
     Returns (idx [M] -> keypoint index or -1, dist [M]).
     """
     level_scales = jnp.asarray(level_scales)
-    r = radius * level_scales[jnp.clip(proj_level, 0)]
+    r = radius * lookup_small(level_scales, proj_level)
     d2 = jnp.sum((proj_uv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
     within = d2 <= (r[:, None] ** 2)
     lvl_ok = jnp.abs(kp_level[None, :] - proj_level[:, None]) <= level_tolerance
     mask = within & lvl_ok & proj_valid[:, None] & kp_valid[None, :]
-    dist = hamming_matrix(proj_desc, kp_desc)
-    best_idx, best, second = masked_best2(dist, mask)
+    best_idx, best, second, col_best = _best2(proj_desc, kp_desc, mask)
     ok = best <= max_dist
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32)
                    <= ratio * second.astype(jnp.float32))
-    ok = mutual_from_dist(dist, mask, best_idx, ok)
+    ok = _mutual(col_best, best_idx, ok)
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best, INF)
 
 
@@ -183,17 +247,16 @@ def search_stereo_rectified(
     """
     scale = 1.0
     if level_scales is not None:
-        scale = jnp.asarray(level_scales)[jnp.clip(level_l, 0)]
+        scale = lookup_small(jnp.asarray(level_scales), level_l)
     dv = jnp.abs(uv_l[:, None, 1] - uv_r[None, :, 1])
     row_ok = dv <= row_tol * (scale[:, None] if level_scales is not None else 1.0)
     disp = uv_l[:, None, 0] - uv_r[None, :, 0]
     disp_ok = (disp >= min_disp) & (disp <= max_disp)
     lvl_ok = jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
     mask = row_ok & disp_ok & lvl_ok & valid_l[:, None] & valid_r[None, :]
-    dist = hamming_matrix(desc_l, desc_r)
-    best_idx, best, _ = masked_best2(dist, mask)
+    best_idx, best, _, col_best = _best2(desc_l, desc_r, mask)
     ok = best <= max_dist
-    ok = mutual_from_dist(dist, mask, best_idx, ok)
+    ok = _mutual(col_best, best_idx, ok)
     u_r = uv_r[jnp.clip(best_idx, 0), 0]
     return jnp.where(ok, u_r, -1.0), jnp.where(ok, best_idx, -1)
 

@@ -1,17 +1,23 @@
-"""Pallas TPU kernel: fused masked Hamming distance + best-2 selection.
+"""Pallas TPU kernel: fused masked Hamming distance + best-2 + column-best.
 
 The hot inner loop of every matcher (ops/matching.py) is
-  dist = popcount(xor(desc_a, desc_b))  -> masked argmin/top-2
+  dist = popcount(xor(desc_a, desc_b))  -> masked argmin/top-2 (rows)
+                                        -> masked argmin (columns, for the
+                                           one-to-one mutual filter)
 As separate XLA ops this materializes an [M, N, 8] uint32 XOR expansion
 (~40 MB at production sizes) and — on the axon backend — the lowered
-program additionally flips the process into a degraded execution mode
-(TODO.md). This kernel keeps everything in VMEM: each grid step loads a
-row-tile of descriptors, streams the full candidate set, computes SWAR
-popcounts (explicit bit-twiddling: portable across Mosaic versions), and
-reduces best/second/argbest in-register.
+Hamming+selection program additionally flips the whole process into a
+degraded ~75 ms/execution mode (TODO.md bisection). This kernel keeps
+everything in VMEM: each grid step loads a row-tile of descriptors,
+streams the full candidate set, computes SWAR popcounts, and reduces
+best/second/argbest per row plus a running column-minimum across tiles —
+so the [M, N] distance matrix never exists outside VMEM and the XLA
+program contains no Hamming or top-k at all.
 
-Outputs match ops/matching.masked_best2 semantics: masked-out rows get
-best >= INF_DIST.
+Outputs match the XLA fallback in ops/matching._best2_xla: masked-out
+rows get best = INF (1 << 30); ties break to the lowest index (argmin
+semantics on rows; strict < tile combining preserves lowest-row ties on
+columns).
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF_DIST = 1e9
+INF_I32 = 1 << 30
 
 
 def _popcount_u32(v):
@@ -36,7 +43,9 @@ def _popcount_u32(v):
     return v & jnp.uint32(0x3F)
 
 
-def _kernel(a_ref, b_ref, mask_ref, idx_ref, best_ref, second_ref):
+def _kernel(a_ref, b_ref, mask_ref, idx_ref, best_ref, second_ref,
+            colbest_ref, colrow_ref):
+    i = pl.program_id(0)
     a = a_ref[...]                       # [TM, 8] uint32
     b = b_ref[...]                       # [N, 8] uint32
     mask = mask_ref[...]                 # [TM, N] float32 (1 = allowed)
@@ -47,13 +56,20 @@ def _kernel(a_ref, b_ref, mask_ref, idx_ref, best_ref, second_ref):
     for w in range(a.shape[1]):          # 8 words, static unroll
         x = a[:, w][:, None] ^ b[:, w][None, :]
         dist_u = dist_u + _popcount_u32(x)
-    # Mosaic lacks uint32->float32 casts; go through int32 (values <=256).
+    # Mosaic lacks uint32->float32 casts; go through int32 (values <= 256).
     dist = pltpu.bitcast(dist_u, jnp.int32).astype(jnp.float32)
 
     d = jnp.where(mask > 0, dist, INF_DIST)
-    best = jnp.min(d, axis=1)
-    ibest = jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    # --- per-row best / second-best -----------------------------------
+    # Tie-breaking must be to the LOWEST index to match the XLA argmin
+    # fallback; Mosaic's argmin lowering does not guarantee that on
+    # hardware (verified mismatch on TPU v5e), so select the index
+    # explicitly: min over column ids where the min is attained.
     cols = jax.lax.broadcasted_iota(jnp.int32, (TM, N), 1)
+    best = jnp.min(d, axis=1)
+    ibest = jnp.min(jnp.where(d == best[:, None], cols, N), axis=1)
+    ibest = ibest.astype(jnp.int32)
     d2 = jnp.where(cols == ibest[:, None], INF_DIST, d)
     second = jnp.min(d2, axis=1)
 
@@ -61,48 +77,80 @@ def _kernel(a_ref, b_ref, mask_ref, idx_ref, best_ref, second_ref):
     best_ref[...] = best[:, None]
     second_ref[...] = second[:, None]
 
+    # --- running per-column best row (for the mutual one-to-one filter) --
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N), 0)
+    cmin = jnp.min(d, axis=0)                                    # [N]
+    carg = jnp.min(jnp.where(d == cmin[None, :], rows, TM),
+                   axis=0).astype(jnp.int32) + i * TM            # global row
 
-@functools.partial(jax.jit, static_argnames=("tile_m",))
-def hamming_best2(desc_a: jax.Array, desc_b: jax.Array,
-                  mask: jax.Array, *, tile_m: int = 256):
-    """Fused masked Hamming + best2.
+    @pl.when(i == 0)
+    def _():
+        colbest_ref[...] = cmin[None, :]
+        colrow_ref[...] = carg[None, :]
 
-    desc_a [M, 8] uint32, desc_b [N, 8] uint32, mask [M, N] float32.
-    Returns (best_idx [M] int32, best [M] int32, second [M] int32) with
-    masked-out rows producing best >= 2**30 (matching masked_best2).
+    @pl.when(i > 0)
+    def _():
+        prev = colbest_ref[...]
+        better = cmin[None, :] < prev                # strict: keep low rows
+        colbest_ref[...] = jnp.where(better, cmin[None, :], prev)
+        colrow_ref[...] = jnp.where(better, carg[None, :], colrow_ref[...])
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def fused_best2(desc_a: jax.Array, desc_b: jax.Array, mask: jax.Array,
+                *, tile_m: int = 256, interpret: bool = False):
+    """Fused masked Hamming + row best2 + column best-row.
+
+    desc_a [M, 8] uint32, desc_b [N, 8] uint32, mask [M, N] bool.
+    Returns (best_idx [M] i32, best [M] i32, second [M] i32,
+    col_best_row [N] i32) with masked-out rows producing best = 1 << 30
+    and col_best_row[c] = argmin over masked rows of column c.
     """
-    M = desc_a.shape[0]
-    N = desc_b.shape[0]
-    TM = min(tile_m, M)
-    grid = (pl.cdiv(M, TM),)
-    idx, best, second = pl.pallas_call(
+    M, N = mask.shape
+    Mp = _round_up(M, 8)
+    Np = _round_up(N, 128)
+    TM = min(tile_m, Mp)
+    Mp = _round_up(Mp, TM)
+    if (Mp, Np) != (M, N):
+        desc_a = jnp.pad(desc_a, ((0, Mp - M), (0, 0)))
+        desc_b = jnp.pad(desc_b, ((0, Np - N), (0, 0)))
+        mask = jnp.pad(mask, ((0, Mp - M), (0, Np - N)))
+    maskf = mask.astype(jnp.float32)
+    grid = (Mp // TM,)
+    idx, best, second, _colbest, colrow = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, desc_a.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, desc_b.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((Np, desc_b.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, N), lambda i: (i, 0),
+            pl.BlockSpec((TM, Np), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TM, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, 1), jnp.int32),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.int32),
         ],
-    )(desc_a, desc_b, mask)
-    big = jnp.int32(1 << 30)
-    best_i = jnp.where(best[:, 0] >= INF_DIST * 0.5, big,
-                       best[:, 0].astype(jnp.int32))
-    second_i = jnp.where(second[:, 0] >= INF_DIST * 0.5, big,
-                         second[:, 0].astype(jnp.int32))
-    return idx[:, 0], best_i, second_i
+        interpret=interpret,
+    )(desc_a, desc_b, maskf)
+    big = jnp.int32(INF_I32)
+    best_i = jnp.where(best[:M, 0] >= INF_DIST * 0.5, big,
+                       best[:M, 0].astype(jnp.int32))
+    second_i = jnp.where(second[:M, 0] >= INF_DIST * 0.5, big,
+                         second[:M, 0].astype(jnp.int32))
+    return idx[:M, 0], best_i, second_i, colrow[0, :N]

@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..math import lie
 from ..math.navstate import NavState
 from ..math.preintegration import EncPreint, ImuPreint
 
-GRAVITY = jnp.asarray([0.0, 0.0, -9.81])
+GRAVITY = np.asarray([0.0, 0.0, -9.81], np.float32)
 
 
 def imu_residual_prv(ns_i: NavState, ns_j: NavState, pre: ImuPreint,
