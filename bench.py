@@ -138,12 +138,88 @@ def run_config(n_features: int, rtt: float, inputs) -> float:
     return (time.time() - st - rtt) / N_FRAMES * 1e3
 
 
+def run_stages(n_features: int, rtt: float, inputs) -> dict:
+    """Per-stage ms: each stage chained back-to-back N times through a
+    data dependency so the device pipeline stays busy (same methodology
+    as the full-frame row)."""
+    imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
+    _, (extract, stereo_depth, track) = build_pipeline(n_features)
+
+    # Chaining dependencies must live INSIDE jitted programs: any eager
+    # op or slice is its own dispatch and (on the axon relay) can cost a
+    # sync round-trip per iteration, swamping the stage time.
+    @jax.jit
+    def extract_step(im, dep):
+        f = extract(im + 1e-12 * dep)
+        return f, f.uv[0, 0]
+
+    @jax.jit
+    def stereo_step(fl, fr, dep):
+        u_r, depth = stereo_depth(fl._replace(uv=fl.uv + 1e-12 * dep), fr)
+        return u_r, depth, depth[0]
+
+    fl = extract(imgs_l[0])
+    fr = extract(imgs_r[0])
+    dep0 = jnp.asarray(0.0, jnp.float32)
+    _, dep = extract_step(imgs_l[0], dep0)
+    u_r, depth, sdep = stereo_step(fl, fr, dep0)
+    out = track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R0, t0)
+    jax.block_until_ready((fl, fr, u_r, depth, out, dep, sdep))
+
+    ms = {}
+    dep = dep0
+    st = time.time()
+    for _ in range(N_FRAMES):
+        _, dep = extract_step(imgs_l[0], dep)
+    jax.block_until_ready(dep)
+    ms["extract_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
+
+    dep = dep0
+    st = time.time()
+    for _ in range(N_FRAMES):
+        u_r, depth, dep = stereo_step(fl, fr, dep)
+    jax.block_until_ready(dep)
+    ms["stereo_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
+
+    R, t = R0, t0
+    st = time.time()
+    for _ in range(N_FRAMES):
+        out = track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t)
+        R, t = out.Rcw, out.tcw
+    jax.block_until_ready(out)
+    ms["track_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
+    return {k: round(v, 3) for k, v in ms.items()}
+
+
+def estimate_mfu(ms_frame: float, n_features: int) -> float:
+    """Rough model FLOP utilization for the per-frame pipeline.
+
+    Counts the dominant dense contractions (one-hot patch gathers +
+    BRIEF tests in ORB x2 images, the [N,N] stereo Hamming, the
+    [SLAB,N] projection-search Hamming, and the BA einsums) at f32 MXU
+    peak ~49 TFLOP/s on v5e. The point of the number is trend, not
+    precision: SLAM frontends are selection/bitops-heavy, so MFU is
+    intrinsically low vs an LLM workload."""
+    N = 1200  # keypoint capacity per image at 1200-feature config
+    # ORB one-hot gathers: 2 images x (patch gather [N,31*31]x[HW] style
+    # one-hot contractions) — dominated by descriptor/gather matmuls.
+    orb_flops = 2 * (N * 961 * 4096 * 2      # patch one-hot gather
+                     + N * 256 * 961 * 2)    # BRIEF pair tests
+    stereo_flops = N * N * (8 * 32) * 2      # popcount-equivalent bitops
+    proj_flops = SLAB * N * (8 * 32) * 2
+    ba_flops = 20 * SLAB * 6 * 6 * 2 * 4     # LM iteration einsums (rough)
+    total = orb_flops + stereo_flops + proj_flops + ba_flops
+    peak = 49e12
+    return total / (ms_frame * 1e-3) / peak
+
+
 def main():
     force_real_mode()
     inputs = stage_inputs()
     rtt = measure_rtt()
     ms_1200 = run_config(1200, rtt, inputs)
     ms_375 = run_config(375, rtt, inputs)
+    stages = run_stages(1200, rtt, inputs)
     print(json.dumps({
         "metric": "frontend_ms_per_frame",
         "value": round(ms_1200, 3),
@@ -153,6 +229,8 @@ def main():
         "feat375_vs_baseline": round(BASELINE_MS_375 / ms_375, 2),
         "rtt_ms": round(rtt * 1e3, 2),
         "n_frames": N_FRAMES,
+        "mfu_est": round(estimate_mfu(ms_1200, 1200), 4),
+        **stages,
     }))
 
 

@@ -13,6 +13,8 @@ from vieo_slam_tpu.sim.world import (
 )
 from vieo_slam_tpu.system import System, SystemConfig
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_run():

@@ -1,0 +1,81 @@
+"""Map lifecycle at sequence scale (VERDICT weak #10 / missing #5):
+capacity growth instead of crashes, landmark slot reuse, keyframe
+culling with the VIO timespan rule."""
+
+import numpy as np
+
+from vieo_slam_tpu.map.map_state import MapConfig, MapState
+
+
+def _add_kf(m, k, t=0.0, lm_idx=None, n=16):
+    lm = np.full(n, -1, np.int64) if lm_idx is None else lm_idx
+    return m.add_keyframe(
+        Rcw=np.eye(3, dtype=np.float32), tcw=np.zeros(3, np.float32),
+        timestamp=t, frame_id=k,
+        uv=np.random.rand(n, 2).astype(np.float32),
+        level=np.zeros(n, np.int32),
+        desc=np.zeros((n, 8), np.uint32),
+        ur=np.full(n, -1.0, np.float32),
+        depth=np.full(n, -1.0, np.float32),
+        kp_valid=np.ones(n, bool), lm_idx=lm,
+    )
+
+
+def test_keyframe_capacity_growth():
+    m = MapState(MapConfig(max_keyframes=8, max_landmarks=64, max_kp=16))
+    for i in range(20):
+        _add_kf(m, i, t=i * 0.1)
+    assert m.n_keyframes() == 20
+    assert m.cfg.max_keyframes >= 20
+    # temporal chain survives growth
+    ids = m.keyframe_ids()
+    assert m.kf_prev[ids[-1]] == ids[-2]
+
+
+def test_landmark_growth_and_slot_reuse():
+    m = MapState(MapConfig(max_keyframes=8, max_landmarks=16, max_kp=16))
+    ids1 = m.add_landmarks(np.zeros((10, 3), np.float32),
+                           np.zeros((10, 8), np.uint32), first_kf=0)
+    m.lm_found[ids1] = 5
+    m.erase_landmarks(ids1[:4])
+    ids2 = m.add_landmarks(np.ones((4, 3), np.float32),
+                           np.zeros((4, 8), np.uint32), first_kf=1)
+    # freed slots reused, counters reset
+    assert set(ids2) == set(ids1[:4].tolist())
+    assert (m.lm_found[ids2] == 0).all()
+    assert (m.lm_first_kf[ids2] == 1).all()
+    # growth beyond capacity
+    big = m.add_landmarks(np.zeros((30, 3), np.float32),
+                          np.zeros((30, 8), np.uint32), first_kf=2)
+    assert m.cfg.max_landmarks >= 40
+    assert m.lm_valid[big].all()
+
+
+def test_keyframe_culling_redundancy_and_timespan():
+    from vieo_slam_tpu.backend.local_mapping import LocalMapper
+    from vieo_slam_tpu.cameras import models as cm
+
+    cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+    m = MapState(MapConfig(max_keyframes=32, max_landmarks=256, max_kp=16))
+    lm_ids = m.add_landmarks(np.random.rand(16, 3).astype(np.float32),
+                             np.zeros((16, 8), np.uint32), first_kf=0)
+    # 6 KFs all observing the same 16 landmarks -> massively redundant
+    for i in range(6):
+        _add_kf(m, i, t=i * 0.1, lm_idx=lm_ids.astype(np.int64))
+        np.add.at(m.lm_n_obs, lm_ids, 1)
+    mapper = LocalMapper(cam, 80.0, m)
+    k = int(m.keyframe_ids()[-1])
+    mapper.cull_keyframes(k)
+    assert m.n_keyframes() < 6          # some mid KFs culled
+
+    # VIO timespan rule: widely spaced KFs must NOT be culled
+    m2 = MapState(MapConfig(max_keyframes=32, max_landmarks=256, max_kp=16))
+    lm2 = m2.add_landmarks(np.random.rand(16, 3).astype(np.float32),
+                           np.zeros((16, 8), np.uint32), first_kf=0)
+    for i in range(6):
+        _add_kf(m2, i, t=i * 0.4, lm_idx=lm2.astype(np.int64))
+        np.add.at(m2.lm_n_obs, lm2, 1)
+    mapper2 = LocalMapper(cam, 80.0, m2)
+    mapper2.vio_active = True           # 0.8 s gaps > 0.5 s cap
+    mapper2.cull_keyframes(int(m2.keyframe_ids()[-1]))
+    assert m2.n_keyframes() == 6

@@ -15,6 +15,10 @@ from vieo_slam_tpu.sim.world import (
 from vieo_slam_tpu.solvers.initializer import monocular_init
 from vieo_slam_tpu.system import System, SystemConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 class TestMonocularInit:
     def test_recovers_relative_pose(self):

@@ -13,6 +13,8 @@ from vieo_slam_tpu.sim.world import (
 )
 from vieo_slam_tpu.system import System, SystemConfig
 
+pytestmark = pytest.mark.slow
+
 
 def test_kidnap_recovery():
     cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)

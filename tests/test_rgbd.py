@@ -11,6 +11,10 @@ from vieo_slam_tpu.sim.world import (
 )
 from vieo_slam_tpu.system import System, SystemConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_rgbd_end_to_end():
     cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)

@@ -14,6 +14,8 @@ from vieo_slam_tpu.sim.world import (
 )
 from vieo_slam_tpu.system import System, SystemConfig
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def run_sequence():

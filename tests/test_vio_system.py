@@ -14,6 +14,8 @@ from vieo_slam_tpu.sim.world import (
 from vieo_slam_tpu.system import System, SystemConfig
 from vieo_slam_tpu.vio.frontend import VioConfig, VioFrontend
 
+pytestmark = pytest.mark.slow
+
 BG = np.array([0.01, -0.02, 0.015], np.float32)
 BA = np.array([0.05, 0.03, -0.04], np.float32)
 

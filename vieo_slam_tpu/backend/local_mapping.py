@@ -56,6 +56,16 @@ class LocalMapper:
         self.map = map_state
         self.cfg = cfg or LocalMappingConfig()
         self.recent_lms: list[tuple[int, np.ndarray]] = []  # (kf, lm_ids)
+        # Once VIO is initialized the keyframe backend solve is the PRV
+        # sliding-window BA run by vio.backend.VioBackend (the reference
+        # switches LocalMapping to LocalBundleAdjustmentNavStatePRV,
+        # LocalMapping.cc:129-147); the VioFrontend sets this flag so the
+        # vision-only local BA stops competing with it.
+        self.skip_local_ba = False
+        # set by the VIO frontend once odometry is fused: enables the
+        # KF-culling timespan rule
+        self.vio_active = False
+        self.vio_timespan_cap = 0.5
 
     # ------------------------------------------------------------------
 
@@ -67,7 +77,9 @@ class LocalMapper:
         if new_ids.size:
             self.recent_lms.append((k, new_ids))
         self.cull_landmarks(k)
-        self.run_local_ba(k)
+        if not self.skip_local_ba:
+            self.run_local_ba(k)
+        self.cull_keyframes(k)
 
     # ------------------------------------------------------------------
 
@@ -251,15 +263,11 @@ class LocalMapper:
         # Outlier observation removal (reference erases edges post-BA).
         inl = np.asarray(res.obs_inlier)[:M]
         obs_kf, obs_kp = m.landmark_observations(lm_ids)
-        local_of = {int(kf): i for i, kf in enumerate(kf_order)}
-        for mm in range(M):
-            for o in range(obs_kf.shape[1]):
-                kf, kp = obs_kf[mm, o], obs_kp[mm, o]
-                if kf < 0 or int(kf) not in local_of:
-                    continue
-                if not inl[mm, o]:
-                    m.kf_lm_idx[kf, kp] = -1
-                    m.lm_n_obs[lm_ids[mm]] -= 1
+        bad = (obs_kf >= 0) & np.isin(obs_kf, kf_order) & ~inl
+        mm, oo = np.nonzero(bad)
+        if mm.size:
+            m.kf_lm_idx[obs_kf[mm, oo], obs_kp[mm, oo]] = -1
+            np.add.at(m.lm_n_obs, lm_ids[mm], -1)
 
     # ------------------------------------------------------------------
 
@@ -322,14 +330,30 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def cull_keyframes(self, k: int):
-        """KeyFrameCulling (LocalMapping.cc:383): erase window KFs whose
-        landmarks are >=90% observed by >=3 other KFs at finer/equal scale
-        (scale condition simplified to observation count here)."""
+        """KeyFrameCulling (LocalMapping.cc:383): erase covisible KFs
+        whose landmarks are >=90% observed by >=3 other KFs (scale
+        condition simplified to observation count).
+
+        VIO timespan rule (VIORBSLAM III-B): once odometry is fused, a
+        KF may only be culled if the temporal gap it leaves between its
+        prev/next chain neighbours stays below `vio_timespan_cap` —
+        longer gaps degrade preintegration accuracy.  The reference
+        re-splices raw measurement lists into the surviving KF
+        (KeyFrame.h:94-123); here chains are re-preintegrated on demand
+        from the time-keyed ring buffer, so erasure needs no splicing.
+        """
         m = self.map
         neigh, _ = m.covisible_keyframes(k, min_shared=15)
         for kf in neigh:
             if kf == 0 or kf == k:
                 continue
+            prev, nxt = int(m.kf_prev[kf]), int(m.kf_next[kf])
+            if self.vio_active:
+                if prev < 0 or nxt < 0:
+                    continue
+                gap = m.kf_timestamp[nxt] - m.kf_timestamp[prev]
+                if gap > self.vio_timespan_cap:
+                    continue
             lms = m.kf_lm_idx[kf]
             lms = lms[lms >= 0]
             if lms.size == 0:

@@ -122,6 +122,109 @@ def build_rgbd_frame(
     )
 
 
+def build_multicam_frame(
+    imgs,
+    cams,
+    cfg: orb.OrbConfig,
+    *,
+    geom_cam: cm.Camera,
+    virt_bf: float,
+    min_depth: float = 0.1,
+    max_depth: float = 40.0,
+    max_hamming: int = 50,
+    epipolar_tol: float = 0.01,
+    min_parallax_cos: float = 0.9998,
+    timestamp=0.0,
+) -> Frame:
+    """Distorted / fisheye multi-camera frame.
+
+    Equivalent of Frame::ComputeStereoFishEyeMatches (src/Frame.cc:613:
+    BFMatcher between cams + CameraBase::TriangulateMatches,
+    common/camera_models/camera_base.h:171-199) and UndistortKeyPoints
+    (Frame.cc:418), for rigs of 2..4 distorted cameras (radtan EuRoC-dist,
+    KB8 TUM-VI):
+
+      - ORB per camera (cam0 = primary; its keypoints define the Frame),
+      - descriptor matching cam0<->cam_i gated by the rig epipolar
+        constraint (|ray_i^T E_i0 ray_0| < tol on unit planes),
+      - DLT triangulation through the known extrinsics with
+        positive-depth / parallax checks,
+      - keypoint coordinates mapped through the camera model onto the
+        undistorted virtual pinhole `geom_cam` that all downstream
+        geometry (tracking, BA, matchers) uses, with the triangulated
+        depth expressed as a virtual-stereo right-u (ur = u - virt_bf/z),
+        mirroring the RGB-D virtual-stereo design.
+
+    cams[i].Rcr/tcr are camera-from-rig extrinsics (rig frame = cam0's
+    or the body frame; only relative poses matter here).
+    """
+    f0 = orb.extract_orb(imgs[0], cfg)
+    rays0 = cm.unproject(cams[0], f0.uv)            # cam0 frame, z=1
+    uv_g = cm.project(geom_cam, rays0)              # virtual-pinhole coords
+    N = f0.uv.shape[0]
+    depth = jnp.full((N,), -1.0, jnp.float32)
+
+    R0, t0 = cams[0].Rcr, cams[0].tcr
+    for i in range(1, len(imgs)):
+        ci = cams[i]
+        fi = orb.extract_orb(imgs[i], cfg)
+        raysi = cm.unproject(ci, fi.uv)
+        # relative pose cam_i <- cam0 and essential matrix
+        Ri0 = ci.Rcr @ R0.T
+        ti0 = ci.tcr - Ri0 @ t0
+        E = jnp.array([[0, -ti0[2], ti0[1]],
+                       [ti0[2], 0, -ti0[0]],
+                       [-ti0[1], ti0[0], 0]], ti0.dtype) @ Ri0
+        # epipolar gate on unit planes: |ray_i^T E ray_0|; [N0, Ni] mask
+        epi = jnp.abs(jnp.einsum("mi,ij,nj->nm", raysi, E, rays0))
+        emask = epi < epipolar_tol
+        idx, _ = matching.match_descriptors(
+            f0.desc, fi.desc, f0.valid, fi.valid,
+            max_dist=max_hamming, angle_a=f0.angle, angle_b=fi.angle,
+            extra_mask=emask)
+        sel = jnp.clip(idx, 0)
+        rays_pair = jnp.stack([rays0, raysi[sel]], axis=1)   # [N, 2, 3]
+        R_cw = jnp.broadcast_to(jnp.stack([R0, ci.Rcr]), (N, 2, 3, 3))
+        t_cw = jnp.broadcast_to(jnp.stack([t0, ci.tcr]), (N, 2, 3))
+        pw_r = cm.triangulate_dlt(rays_pair, R_cw, t_cw)
+        depths, cos_par = cm.triangulation_checks(pw_r, R_cw, t_cw,
+                                                  rays_pair)
+        z0 = depths[:, 0]
+        ok = ((idx >= 0) & (z0 > min_depth) & (z0 < max_depth)
+              & (depths[:, 1] > min_depth)
+              & (cos_par < min_parallax_cos))
+        depth = jnp.where(ok & (depth < 0), z0, depth)
+
+    has_d = depth > 0
+    ur = jnp.where(has_d, uv_g[:, 0] - virt_bf / jnp.maximum(depth, 1e-6),
+                   -1.0)
+    valid = f0.valid & cm.in_image(geom_cam, uv_g, 0.0)
+    return Frame(
+        uv=uv_g, level=f0.level, angle=f0.angle, desc=f0.desc,
+        ur=ur, depth=jnp.where(has_d, depth, -1.0), valid=valid,
+        timestamp=jnp.asarray(timestamp, jnp.float64),
+    )
+
+
+def build_undistorted_mono_frame(img: jax.Array, cam: cm.Camera,
+                                 cfg: orb.OrbConfig, *,
+                                 geom_cam: cm.Camera,
+                                 timestamp=0.0) -> Frame:
+    """Monocular distorted frame: extract on the distorted image, map
+    keypoints through the model onto the virtual pinhole geometry camera
+    (Frame::UndistortKeyPoints, src/Frame.cc:418)."""
+    f = orb.extract_orb(img, cfg)
+    uv_g = cm.project(geom_cam, cm.unproject(cam, f.uv))
+    n = f.uv.shape[0]
+    return Frame(
+        uv=uv_g, level=f.level, angle=f.angle, desc=f.desc,
+        ur=jnp.full((n,), -1.0, jnp.float32),
+        depth=jnp.full((n,), -1.0, jnp.float32),
+        valid=f.valid & cm.in_image(geom_cam, uv_g, 0.0),
+        timestamp=jnp.asarray(timestamp, jnp.float64),
+    )
+
+
 def make_mono_frame(img: jax.Array, cfg: orb.OrbConfig, timestamp=0.0) -> Frame:
     f = orb.extract_orb(img, cfg)
     n = f.uv.shape[0]

@@ -58,6 +58,7 @@ class SlamSettings:
     local_window_size: int = 8
     gba_no_loop_closing: bool = False
     gba_final_iterations: int = 15
+    imu_init_final_time: float = 15.0   # IMU.FinalTime (VI-init span)
 
 
 def _fs_read(fs, key, default=None):
@@ -70,6 +71,11 @@ def _fs_read(fs, key, default=None):
         return node.real()
     if node.isString():
         return node.string()
+    if node.isSeq():
+        # plain YAML list (e.g. IMU.sigma) — node.mat() asserts on
+        # non-map nodes in OpenCV 5
+        return np.asarray([node.at(i).real()
+                           for i in range(node.size())])
     m = node.mat()
     return m if m is not None else default
 
@@ -94,14 +100,20 @@ def load_settings(path: str) -> SlamSettings:
     s.fps = float(g("Camera.fps", s.fps))
     s.th_depth_factor = float(g("ThDepth", s.th_depth_factor))
 
+    cam_type = g("Camera.type")
+    is_kb8 = isinstance(cam_type, str) and "KannalaBrandt" in cam_type
     k1 = g("Camera.k1")
     if k1 is not None:
-        s.dist = (float(k1), float(g("Camera.k2", 0.0)),
-                  float(g("Camera.p1", 0.0)), float(g("Camera.p2", 0.0)))
-        if any(abs(d) > 1e-12 for d in s.dist):
-            s.model = "radtan"
-    cam_type = g("Camera.type")
-    if isinstance(cam_type, str) and "KannalaBrandt" in cam_type:
+        if is_kb8:
+            # KB8 stores k1..k4 (TUM_VI_512_VIO_dist_fast.yaml:69-73)
+            s.dist = (float(k1), float(g("Camera.k2", 0.0)),
+                      float(g("Camera.k3", 0.0)), float(g("Camera.k4", 0.0)))
+        else:
+            s.dist = (float(k1), float(g("Camera.k2", 0.0)),
+                      float(g("Camera.p1", 0.0)), float(g("Camera.p2", 0.0)))
+            if any(abs(d) > 1e-12 for d in s.dist):
+                s.model = "radtan"
+    if is_kb8:
         s.model = "kb8"
 
     Tbc = g("Camera.Tbc")
@@ -110,21 +122,35 @@ def load_settings(path: str) -> SlamSettings:
 
     fx2 = g("Camera2.fx")
     if fx2 is not None:
+        if is_kb8:
+            dist2 = (float(g("Camera2.k1", 0.0)), float(g("Camera2.k2", 0.0)),
+                     float(g("Camera2.k3", 0.0)), float(g("Camera2.k4", 0.0)))
+        else:
+            dist2 = (float(g("Camera2.k1", 0.0)), float(g("Camera2.k2", 0.0)),
+                     float(g("Camera2.p1", 0.0)), float(g("Camera2.p2", 0.0)))
+        Trc_raw = g("Camera2.Trc")
+        Trc = np.eye(4, dtype=np.float32)
+        if Trc_raw is not None:
+            Trc_raw = np.asarray(Trc_raw, np.float32)
+            # stored as 3x4 opencv-matrix in the reference configs
+            Trc[:Trc_raw.reshape(-1, 4).shape[0]] = Trc_raw.reshape(-1, 4)
         s.cam2 = dict(
             fx=float(fx2), fy=float(g("Camera2.fy", fx2)),
             cx=float(g("Camera2.cx", 0.0)), cy=float(g("Camera2.cy", 0.0)),
-            dist=(float(g("Camera2.k1", 0.0)), float(g("Camera2.k2", 0.0)),
-                  float(g("Camera2.p1", 0.0)), float(g("Camera2.p2", 0.0))),
-            Trc=np.asarray(g("Camera2.Trc"), np.float32).reshape(4, 4)
-            if g("Camera2.Trc") is not None else np.eye(4, dtype=np.float32),
+            dist=dist2, Trc=Trc,
         )
 
-    sig = g("IMU.SigmaI")
+    sig = g("IMU.sigma")
+    if sig is None:
+        sig = g("IMU.SigmaI")
     if sig is not None:
         sig = np.asarray(sig).reshape(-1)
-        # reference stores [sigma_g, sigma_a, sigma_bg, sigma_ba]-style rows
+        # [sigma_g, sigma_a, sigma_bg, sigma_ba]
+        # (TUM_VI_512_VIO_dist_fast.yaml:10-11)
         if sig.size >= 2:
             s.imu_sigma_g, s.imu_sigma_a = float(sig[0]), float(sig[1])
+        if sig.size >= 4:
+            s.imu_sigma_bg, s.imu_sigma_ba = float(sig[2]), float(sig[3])
     for key, attr in [("IMU.sigma_g", "imu_sigma_g"),
                       ("IMU.sigma_a", "imu_sigma_a"),
                       ("IMU.sigma_bg", "imu_sigma_bg"),
@@ -154,6 +180,9 @@ def load_settings(path: str) -> SlamSettings:
     fit = g("GBA.finalIterations")
     if fit is not None:
         s.gba_final_iterations = int(fit)
+    ft = g("IMU.FinalTime")
+    if ft is not None:
+        s.imu_init_final_time = float(ft)
     fs.release()
     return s
 
@@ -169,14 +198,10 @@ def build_system(settings: SlamSettings, sensor: str = "stereo"):
     from ..system import SensorMode, System, SystemConfig
 
     s = settings
-    if s.model == "radtan":
-        cam = cm.make_radtan(s.fx, s.fy, s.cx, s.cy, list(s.dist),
-                             s.width, s.height)
-    elif s.model == "kb8":
-        cam = cm.make_kb8(s.fx, s.fy, s.cx, s.cy, list(s.dist),
-                          s.width, s.height)
-    else:
-        cam = cm.make_pinhole(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
+    # All map/tracking geometry runs in an undistorted virtual pinhole
+    # frame (Frame::UndistortKeyPoints semantics, src/Frame.cc:418);
+    # distorted physical cameras live in the frame builder below.
+    cam = cm.make_pinhole(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
 
     cfg = SystemConfig(
         sensor={"mono": SensorMode.MONOCULAR, "stereo": SensorMode.STEREO,
@@ -193,4 +218,57 @@ def build_system(settings: SlamSettings, sensor: str = "stereo"):
     if not s.gba_no_loop_closing:
         sys_.loop_closer = LoopCloser(cam, s.bf, sys_.map,
                                       LoopClosingConfig())
+    sys_.frame_builder = make_frame_builder(s, geom_cam=cam)
     return sys_
+
+
+def make_frame_builder(s: SlamSettings, geom_cam=None):
+    """Image->Frame closure for this configuration.
+
+    Rectified pinhole -> build_stereo_frame row search; distorted
+    (radtan EuRoC-dist / KB8 TUM-VI, with Camera2.Trc extrinsics) ->
+    build_multicam_frame (descriptor match + DLT triangulation through
+    the rig, Frame.cc:613).  The returned callable is jitted per shape:
+    builder(img_left, img_right, timestamp) -> Frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..cameras import models as cm
+    from ..frontend import frame as fr
+    from ..ops import orb
+
+    if geom_cam is None:
+        geom_cam = cm.make_pinhole(s.fx, s.fy, s.cx, s.cy,
+                                   s.width, s.height)
+    ocfg = orb.OrbConfig(n_features=s.n_features,
+                         scale_factor=s.scale_factor, n_levels=s.n_levels,
+                         fast_threshold=s.ini_th_fast,
+                         fast_min_threshold=s.min_th_fast)
+    make = {"radtan": cm.make_radtan, "kb8": cm.make_kb8}
+
+    if s.model == "pinhole":
+        build = jax.jit(lambda l, r, t: fr.build_stereo_frame(
+            l, r, ocfg, bf=s.bf, timestamp=t))
+        return lambda l, r, t: build(jnp.asarray(l), jnp.asarray(r),
+                                     jnp.asarray(t, jnp.float64))
+
+    cam0 = make[s.model](s.fx, s.fy, s.cx, s.cy, list(s.dist),
+                         s.width, s.height)
+    cams = [cam0]
+    if s.cam2 is not None:
+        c2 = s.cam2
+        Trc = np.asarray(c2["Trc"], np.float32)
+        cams.append(make[s.model](
+            c2["fx"], c2["fy"], c2["cx"], c2["cy"], list(c2["dist"]),
+            s.width, s.height, Rcr=Trc[:3, :3], tcr=Trc[:3, 3]))
+        build = jax.jit(lambda l, r, t: fr.build_multicam_frame(
+            [l, r], cams, ocfg, geom_cam=geom_cam, virt_bf=s.bf,
+            timestamp=t))
+        return lambda l, r, t: build(jnp.asarray(l), jnp.asarray(r),
+                                     jnp.asarray(t, jnp.float64))
+    # distorted mono
+    build = jax.jit(lambda im, t: fr.build_undistorted_mono_frame(
+        im, cam0, ocfg, geom_cam=geom_cam, timestamp=t))
+    return lambda im, t: build(jnp.asarray(im),
+                               jnp.asarray(t, jnp.float64))

@@ -87,6 +87,68 @@ class MapState:
 
         self._next_kf = 0
         self._next_lm = 0
+        # Freed landmark slots available for reuse (erase_landmarks).
+        self._lm_free: list[int] = []
+
+    # ------------------------------------------------------------------
+    # capacity growth (long sequences must not crash at fixed caps)
+    # ------------------------------------------------------------------
+
+    def _grow_keyframes(self, new_K: int):
+        K = self.cfg.max_keyframes
+        if new_K <= K:
+            return
+
+        def grow(a, fill):
+            out = np.empty((new_K,) + a.shape[1:], a.dtype)
+            out[:K] = a
+            out[K:] = fill
+            return out
+
+        self.kf_valid = grow(self.kf_valid, False)
+        self.kf_Rcw = grow(self.kf_Rcw, np.eye(3, dtype=np.float32))
+        self.kf_tcw = grow(self.kf_tcw, 0.0)
+        self.kf_timestamp = grow(self.kf_timestamp, 0.0)
+        self.kf_frame_id = grow(self.kf_frame_id, -1)
+        self.kf_Rwb = grow(self.kf_Rwb, np.eye(3, dtype=np.float32))
+        self.kf_pwb = grow(self.kf_pwb, 0.0)
+        self.kf_vwb = grow(self.kf_vwb, 0.0)
+        self.kf_bg = grow(self.kf_bg, 0.0)
+        self.kf_ba = grow(self.kf_ba, 0.0)
+        self.kf_uv = grow(self.kf_uv, 0.0)
+        self.kf_level = grow(self.kf_level, 0)
+        self.kf_desc = grow(self.kf_desc, 0)
+        self.kf_ur = grow(self.kf_ur, -1.0)
+        self.kf_depth = grow(self.kf_depth, -1.0)
+        self.kf_kp_valid = grow(self.kf_kp_valid, False)
+        self.kf_lm_idx = grow(self.kf_lm_idx, -1)
+        self.kf_prev = grow(self.kf_prev, -1)
+        self.kf_next = grow(self.kf_next, -1)
+        self.cfg.max_keyframes = new_K
+
+    def _grow_landmarks(self, new_L: int):
+        L = self.cfg.max_landmarks
+        if new_L <= L:
+            return
+
+        def grow(a, fill):
+            out = np.empty((new_L,) + a.shape[1:], a.dtype)
+            out[:L] = a
+            out[L:] = fill
+            return out
+
+        self.lm_valid = grow(self.lm_valid, False)
+        self.lm_pw = grow(self.lm_pw, 0.0)
+        self.lm_desc = grow(self.lm_desc, 0)
+        self.lm_normal = grow(self.lm_normal, 0.0)
+        self.lm_min_dist = grow(self.lm_min_dist, 0.0)
+        self.lm_max_dist = grow(self.lm_max_dist, 0.0)
+        self.lm_n_obs = grow(self.lm_n_obs, 0)
+        self.lm_visible = grow(self.lm_visible, 0)
+        self.lm_found = grow(self.lm_found, 0)
+        self.lm_first_kf = grow(self.lm_first_kf, -1)
+        self.lm_ref_kf = grow(self.lm_ref_kf, -1)
+        self.cfg.max_landmarks = new_L
 
     # ------------------------------------------------------------------
     # scale info
@@ -118,7 +180,7 @@ class MapState:
     ) -> int:
         k = self._next_kf
         if k >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded")
+            self._grow_keyframes(2 * self.cfg.max_keyframes)
         self._next_kf += 1
         n = uv.shape[0]
         self.kf_valid[k] = True
@@ -176,18 +238,37 @@ class MapState:
 
     def add_landmarks(self, pw, desc, first_kf, normals=None,
                       min_dist=None, max_dist=None) -> np.ndarray:
-        """Bulk-insert landmarks; returns their ids."""
+        """Bulk-insert landmarks; returns their ids.
+
+        Freed slots (from culling) are reused first; the backing arrays
+        grow when fresh capacity runs out — long sequences degrade (via
+        culling pressure) instead of crashing."""
         m = pw.shape[0]
-        l0 = self._next_lm
-        if l0 + m > self.cfg.max_landmarks:
-            raise RuntimeError("landmark capacity exceeded")
-        ids = np.arange(l0, l0 + m)
-        self._next_lm += m
+        n_reuse = min(len(self._lm_free), m)
+        reuse = np.asarray(self._lm_free[:n_reuse], int)
+        self._lm_free = self._lm_free[n_reuse:]
+        fresh = m - n_reuse
+        if self._next_lm + fresh > self.cfg.max_landmarks:
+            self._grow_landmarks(
+                max(2 * self.cfg.max_landmarks,
+                    self._next_lm + fresh))
+        ids = np.concatenate([
+            reuse, np.arange(self._next_lm, self._next_lm + fresh)])
+        self._next_lm += fresh
         self.lm_valid[ids] = True
         self.lm_pw[ids] = pw
         self.lm_desc[ids] = desc
         self.lm_first_kf[ids] = first_kf
         self.lm_ref_kf[ids] = first_kf
+        # reused slots carry stale counters — reset them
+        self.lm_n_obs[ids] = 0
+        self.lm_visible[ids] = 0
+        self.lm_found[ids] = 0
+        if normals is None:
+            self.lm_normal[ids] = 0.0
+        if min_dist is None:
+            self.lm_min_dist[ids] = 0.0
+            self.lm_max_dist[ids] = 0.0
         if normals is not None:
             self.lm_normal[ids] = normals
         if min_dist is not None:
@@ -200,11 +281,13 @@ class MapState:
         ids = np.asarray(ids)
         if ids.size == 0:
             return
+        was = self.lm_valid[ids]
         self.lm_valid[ids] = False
         # remove every observation pointing at them
         mask = np.isin(self.kf_lm_idx, ids)
         self.kf_lm_idx[mask] = -1
         self.lm_n_obs[ids] = 0
+        self._lm_free.extend(int(i) for i in ids[was])
         self.version += 1
 
     def replace_landmark(self, old: int, new: int):
@@ -213,6 +296,8 @@ class MapState:
         # where the target kf already observes `new`, just drop.
         self.kf_lm_idx[mask] = new
         self.lm_n_obs[new] += int(mask.sum())
+        if self.lm_valid[old]:
+            self._lm_free.append(int(old))
         self.lm_valid[old] = False
         self.lm_n_obs[old] = 0
         self.lm_found[new] += self.lm_found[old]
@@ -230,23 +315,32 @@ class MapState:
         M = len(lm_ids), O = max_obs (cfg.max_obs default).
         """
         O = max_obs or self.cfg.max_obs
+        lm_ids = np.asarray(lm_ids, int)
         M = len(lm_ids)
         obs_kf = np.full((M, O), -1, np.int32)
         obs_kp = np.full((M, O), -1, np.int32)
-        pos = {int(l): i for i, l in enumerate(lm_ids)}
-        counts = np.zeros(M, np.int32)
-        for k in self.keyframe_ids():
-            lms = self.kf_lm_idx[k]
-            kps = np.nonzero(lms >= 0)[0]
-            for i in kps:
-                j = pos.get(int(lms[i]))
-                if j is None:
-                    continue
-                c = counts[j]
-                if c < O:
-                    obs_kf[j, c] = k
-                    obs_kp[j, c] = i
-                    counts[j] = c + 1
+        if M == 0:
+            return obs_kf, obs_kp
+        # Vectorized group-by: flatten (kf, kp) -> lm, map lm id to its
+        # row in lm_ids via a dense lookup, rank within each row by
+        # sorted position, scatter ranks < O.
+        hi = max(int(self.kf_lm_idx.max(initial=-1)),
+                 int(lm_ids.max(initial=-1)))
+        pos = np.full(hi + 2, -1, np.int64)
+        pos[lm_ids] = np.arange(M)
+        valid_kf = self.kf_valid[:, None]
+        lms = self.kf_lm_idx
+        sel = (lms >= 0) & valid_kf
+        k_all, i_all = np.nonzero(sel)
+        j_all = pos[lms[k_all, i_all]]
+        keep = j_all >= 0
+        k_all, i_all, j_all = k_all[keep], i_all[keep], j_all[keep]
+        order = np.argsort(j_all, kind="stable")
+        j_s, k_s, i_s = j_all[order], k_all[order], i_all[order]
+        rank = np.arange(len(j_s)) - np.searchsorted(j_s, j_s)
+        fit = rank < O
+        obs_kf[j_s[fit], rank[fit]] = k_s[fit]
+        obs_kp[j_s[fit], rank[fit]] = i_s[fit]
         return obs_kf, obs_kp
 
     def covisible_keyframes(self, k: int, min_shared: int = 15):
@@ -287,28 +381,21 @@ class MapState:
         kf_order = np.concatenate([np.asarray(window_kfs, int),
                                    np.asarray(fixed_kfs, int)])
         K = len(kf_order)
-        local_of = {int(k): i for i, k in enumerate(kf_order)}
+        loc = np.full(len(self.kf_valid), -1, np.int32)
+        loc[kf_order] = np.arange(K, dtype=np.int32)
         obs_kf, obs_kp = self.landmark_observations(lm_ids)
         M, O = obs_kf.shape
-        obs_uv = np.zeros((M, O, 2), np.float32)
-        obs_ur = np.full((M, O), -1.0, np.float32)
-        obs_is2 = np.ones((M, O), np.float32)
-        obs_valid = np.zeros((M, O), bool)
-        obs_local = np.full((M, O), -1, np.int32)
-        inv_s2 = self.inv_sigma2
-        for m in range(M):
-            for o in range(O):
-                k, i = obs_kf[m, o], obs_kp[m, o]
-                if k < 0:
-                    continue
-                j = local_of.get(int(k))
-                if j is None:
-                    continue
-                obs_local[m, o] = j
-                obs_uv[m, o] = self.kf_uv[k, i]
-                obs_ur[m, o] = self.kf_ur[k, i]
-                obs_is2[m, o] = inv_s2[self.kf_level[k, i]]
-                obs_valid[m, o] = True
+        kc = np.clip(obs_kf, 0, None)
+        ic = np.clip(obs_kp, 0, None)
+        obs_local = np.where(obs_kf >= 0, loc[kc], -1).astype(np.int32)
+        obs_valid = obs_local >= 0
+        obs_uv = np.where(obs_valid[..., None],
+                          self.kf_uv[kc, ic], 0.0).astype(np.float32)
+        obs_ur = np.where(obs_valid, self.kf_ur[kc, ic],
+                          -1.0).astype(np.float32)
+        obs_is2 = np.where(
+            obs_valid, self.inv_sigma2[self.kf_level[kc, ic]],
+            1.0).astype(np.float32)
         fixed = np.zeros(K, bool)
         fixed[len(window_kfs):] = True
         prob = dict(

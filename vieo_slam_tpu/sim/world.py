@@ -54,6 +54,7 @@ class SyntheticWorld:
         # (a random subset per frame would cap the matchable overlap).
         self.saliency = rng.rand(n).astype(np.float32)
         self.rng = rng
+        self._patches = None
 
     # ------------------------------------------------------------------
 
@@ -142,10 +143,83 @@ class SyntheticWorld:
 # ---------------------------------------------------------------------------
 
 
+    # ------------------------------------------------------------------
+    # pixel-level rendering (image-domain end-to-end tests)
+    # ------------------------------------------------------------------
+
+    def _landmark_patches(self, size: int = 12):
+        """Per-landmark fixed texture stamp: a 2x-upsampled random block
+        pattern (corner-rich, distinctive under BRIEF), constant across
+        views so descriptors are stable frame to frame."""
+        if self._patches is None:
+            rng = np.random.RandomState(self.cfg.seed + 7777)
+            n = self.cfg.n_landmarks
+            coarse = rng.randint(30, 226, (n, size // 2, size // 2))
+            self._patches = np.repeat(
+                np.repeat(coarse, 2, axis=1), 2, axis=2).astype(np.float32)
+        return self._patches
+
+    def render_view(self, cam, Rcw, tcw, *, bg_level: float = 96.0,
+                    min_depth: float = 0.2) -> np.ndarray:
+        """Render a grayscale view of the landmark field through an
+        arbitrary (possibly distorted) camera model.
+
+        Each landmark stamps its fixed texture patch at its projected
+        sub-pixel position (bilinear shift), over a flat background.
+        This gives the REAL pipeline (pixels -> ORB -> stereo -> track)
+        a world with stable, matchable corners and exact ground truth —
+        the image-level e2e surface SURVEY §4 calls for.
+        """
+        H, W = cam.height, cam.width
+        img = np.full((H, W), bg_level, np.float32)
+        pc = self.pw @ np.asarray(Rcw).T + np.asarray(tcw)
+        uv = np.asarray(cm.project(cam, jnp.asarray(pc, jnp.float32)))
+        patches = self._landmark_patches()
+        P = patches.shape[1]
+        h = P // 2
+        vis = ((pc[:, 2] > min_depth)
+               & (uv[:, 0] >= h + 1) & (uv[:, 0] < W - h - 2)
+               & (uv[:, 1] >= h + 1) & (uv[:, 1] < H - h - 2))
+        # draw far-to-near so close landmarks overwrite far ones
+        order = np.argsort(-pc[vis, 2], kind="stable")
+        idx = np.nonzero(vis)[0][order]
+        for li in idx:
+            u, v = uv[li]
+            iu, iv = int(np.floor(u)), int(np.floor(v))
+            fu, fv = u - iu, v - iv
+            p = patches[li]
+            # bilinear sub-pixel shift (pad by 1, shift by (fv, fu))
+            pp = np.pad(p, 1, mode="edge")
+            p00 = pp[0:P, 0:P]
+            p01 = pp[0:P, 1:P + 1]
+            p10 = pp[1:P + 1, 0:P]
+            p11 = pp[1:P + 1, 1:P + 1]
+            sh = ((1 - fv) * (1 - fu) * p11 + (1 - fv) * fu * p10
+                  + fv * (1 - fu) * p01 + fv * fu * p00)
+            img[iv - h + 1: iv + P - h + 1,
+                iu - h + 1: iu + P - h + 1] = sh
+        return img
+
+    def render_stereo(self, cam, Rcw, tcw, baseline: float, **kw):
+        """Rectified stereo pair: right camera displaced +baseline along
+        the left camera's x axis."""
+        left = self.render_view(cam, Rcw, tcw, **kw)
+        tcw_r = np.asarray(tcw) - np.asarray([baseline, 0.0, 0.0],
+                                             np.float32)
+        right = self.render_view(cam, Rcw, tcw_r, **kw)
+        return left, right
+
+
 def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
-                      look_outward=False):
+                      look_outward=False, z_amp=0.0, z_omega=1.1,
+                      pitch_amp=0.0, pitch_omega=0.8):
     """Camera circles the origin looking inward (or outward, panorama-
     style — outward keeps wall structure close, the strong-stereo regime).
+
+    z_amp/pitch_amp add vertical bobbing and nodding. A flat yaw-only
+    circle leaves the accel-bias component along gravity UNOBSERVABLE
+    (degenerate with |g|) — VIO tests need some excitation, exactly like
+    real handheld/MAV datasets have.
 
     Returns (Rwc [T,3,3], twc [T,3]) world-from-camera, plus body rates
     (omega_body [T,3], acc_body [T,3], v_world [T,3]) for IMU synthesis
@@ -153,12 +227,18 @@ def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
     """
     t = np.asarray(t, np.float64)
     ang = omega * t
-    pos = np.stack([radius * np.cos(ang), radius * np.sin(ang),
-                    np.full_like(ang, z)], -1)
+    zt = z + z_amp * np.sin(z_omega * t)
+    pos = np.stack([radius * np.cos(ang), radius * np.sin(ang), zt], -1)
     # camera z-axis points to origin, x-axis tangent, y-axis down-ish.
-    fwd = -pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    fwd = -np.stack([pos[:, 0], pos[:, 1], np.zeros_like(ang)], -1)
+    fwd /= np.linalg.norm(fwd, axis=-1, keepdims=True)
     if look_outward:
         fwd = -fwd
+    if pitch_amp:
+        # nod: tilt fwd up/down about the horizontal right axis
+        th = pitch_amp * np.sin(pitch_omega * t)
+        fwd = np.stack([fwd[:, 0] * np.cos(th), fwd[:, 1] * np.cos(th),
+                        np.sin(th)], -1)
     up = np.tile([0.0, 0.0, -1.0], (len(t), 1))
     right = np.cross(fwd, up)
     right /= np.linalg.norm(right, axis=-1, keepdims=True)
@@ -166,10 +246,10 @@ def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
     Rwc = np.stack([right, down, fwd], axis=-1)  # columns = cam axes
     v = np.stack([-radius * omega * np.sin(ang),
                   radius * omega * np.cos(ang),
-                  np.zeros_like(ang)], -1)
+                  z_amp * z_omega * np.cos(z_omega * t)], -1)
     a_w = np.stack([-radius * omega ** 2 * np.cos(ang),
                     -radius * omega ** 2 * np.sin(ang),
-                    np.zeros_like(ang)], -1)
+                    -z_amp * z_omega ** 2 * np.sin(z_omega * t)], -1)
     # body rates: R_wc(t) varies; omega_body from dR = R hat(w) — compute
     # numerically for generality.
     return Rwc.astype(np.float32), pos.astype(np.float32), \
@@ -216,10 +296,26 @@ def make_imu_samples(t_frames, Rwb, v_w, a_w, rate_hz=200.0,
 
     w_b = interp(w_body_frames)
     a_world = interp(a_w)
-    # rotate world accel into body at interpolated attitude (nearest frame
-    # attitude is accurate enough at 200 Hz for tests).
-    idx = np.clip(np.searchsorted(t_frames, ts), 0, len(t_frames) - 1)
-    Rb = Rwb[idx]
+    # Rotate world accel into body at the SLERP-interpolated attitude.
+    # (A nearest-frame attitude is off by up to |w|*dt_frame — with
+    # gravity at 9.81 that is a systematic ~0.1-0.2 m/s^2 accel error,
+    # larger than typical trajectory accelerations; the synthetic IMU
+    # must be consistent with the synthetic poses or backend BAs get a
+    # fictitious steady force.)
+    import jax.numpy as jnp
+
+    from ..math import lie
+
+    i1 = np.clip(np.searchsorted(t_frames, ts, side="right"), 1,
+                 len(t_frames) - 1)
+    i0 = i1 - 1
+    denom = np.maximum(t_frames[i1] - t_frames[i0], 1e-9)
+    frac = np.clip((ts - t_frames[i0]) / denom, 0.0, 1.0)
+    R0, R1 = Rwb[i0], Rwb[i1]
+    dphi = np.asarray(lie.so3_log(
+        jnp.asarray(np.einsum("tji,tjk->tik", R0, R1))))
+    dRot = np.asarray(lie.so3_exp(jnp.asarray(dphi * frac[:, None])))
+    Rb = np.einsum("tij,tjk->tik", R0, dRot)
     a_b = np.einsum("tij,ti->tj", Rb, a_world - g)  # R^T (a - g)
     gyro = w_b + bg + rng.randn(*w_b.shape) * noise_g
     acc = a_b + ba + rng.randn(*a_b.shape) * noise_a

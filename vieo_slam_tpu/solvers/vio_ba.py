@@ -43,6 +43,22 @@ class VioOptResult(NamedTuple):
     H_joint: jax.Array        # [30,30] full joint GN Hessian
 
 
+# Per-iteration tangent-step caps [dp, dv, dphi, dbg, dba] (see the
+# trust-region note at the solve site).
+_STEP_CAP = (1.0, 2.0, 0.5, 0.05, 0.5)
+
+
+def _clamp_blocks(dx):
+    """Clamp each 3D block of one or more stacked 15D tangents."""
+    dtype = dx.dtype
+    caps = jnp.asarray(
+        [_STEP_CAP[0]] * 3 + [_STEP_CAP[1]] * 3 + [_STEP_CAP[2]] * 3
+        + [_STEP_CAP[3]] * 3 + [_STEP_CAP[4]] * 3, dtype)
+    n = dx.shape[-1] // 15
+    caps = jnp.tile(caps, n)
+    return jnp.clip(dx, -caps, caps)
+
+
 def _reproj_terms(ns: NavState, obs: PoseObs, cam, Rcb, tcb, bf):
     Rcw, tcw = tcw_from_navstate(ns, Rcb, tcb)
     pc = jnp.einsum("ij,nj->ni", Rcw, obs.pw) + tcw
@@ -165,6 +181,15 @@ def vio_pose_optimization(
                 b = b * mask
             A = H + lam * jnp.eye(30, dtype=dtype)
             dx = jnp.linalg.solve(A, b)
+            # Per-block trust region: the rotation-via-bias correction
+            # Exp(Jg_R dbg) WRAPS at 2pi, so a near-unconstrained joint
+            # bias direction lets LM take a |dbg|~2pi*k/|Jg| step that
+            # lowers cost by wrapping (observed: bg jumped to 220 rad/s
+            # = 14 full turns through Jg~ -0.4).  Clamping each tangent
+            # block per iteration removes the wrapped minima without
+            # affecting legitimate convergence (32 iterations x caps
+            # covers any physical correction).
+            dx = _clamp_blocks(dx)
             nl_new = ns_l if last_fixed else ns_l.inc_pvr_bias(dx[:15])
             nc_new = ns_c.inc_pvr_bias(dx[15:])
             # dtype-stable under jax_enable_x64 (scan carry).

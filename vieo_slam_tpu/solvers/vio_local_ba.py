@@ -51,6 +51,7 @@ from ..math.preintegration import EncPreint, ImuPreint
 from . import imu_factors
 from .lm import huber_cost, huber_weight
 from .motion_ba import CHI2_MONO, CHI2_STEREO
+from .vio_ba import _clamp_blocks
 
 CHI2_IMU9 = 16.919    # chi2(0.05, 9) — thHuberNavStatePRV^2
 CHI2_BIAS6 = 12.592   # chi2(0.05, 6) — thHuberNavStateBias^2
@@ -439,7 +440,10 @@ def _iteration(ns, pw, dg, prob: VioBAProblem, cam, cfg, active, lam,
     rhs_full = rhs_full * fm
 
     dx = jnp.linalg.solve(A, rhs_full)
-    dx_kf = dx[:15 * K].reshape(K, 15) * m15
+    # Same per-block trust region as the motion solve (see vio_ba): the
+    # bias->rotation correction wraps at 2pi, so weakly-constrained bias
+    # directions admit huge wrapped steps.
+    dx_kf = _clamp_blocks(dx[:15 * K].reshape(K, 15)) * m15
     dgx = dx[15 * K:] * gmask.astype(dtype)
 
     # landmark back-substitution with the 6D vision slice.

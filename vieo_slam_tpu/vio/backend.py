@@ -58,7 +58,8 @@ class VioBackend:
 
     def __init__(self, map_state: MapState, cam, bf: float, ring,
                  Rcb, tcb, cfg: Optional[VioBackendConfig] = None,
-                 enc_ring=None, Rbe=None, tbe=None):
+                 enc_ring=None, Rbe=None, tbe=None,
+                 enc_half_track: float = 0.28, enc_sigma_v: float = 0.01):
         self.map = map_state
         self.cam = cam
         self.bf = float(bf)
@@ -70,6 +71,8 @@ class VioBackend:
             np.asarray(Rbe, np.float32)
         self.tbe = np.zeros(3, np.float32) if tbe is None else \
             np.asarray(tbe, np.float32)
+        self._enc_half_track = float(enc_half_track)
+        self._enc_sigma_v = float(enc_sigma_v)
         self.cfg = cfg or VioBackendConfig()
         self.gravity = np.array([0, 0, -9.81], np.float32)
 
@@ -327,8 +330,18 @@ class VioBackend:
         fixed_vb = np.asarray(prob.fixed_vb).copy()
         fixed_pr[0] = True
         fixed_vb[0] = True
+        # CRITICAL: chains whose i-side V/bias is frozen must be
+        # down-weighted (Optimizer.cc:969's 1e-2 on the N+1-th KF's
+        # chain).  The anchor's stored velocity carries estimation error;
+        # at full weight the solver explains it with a fictitious accel
+        # bias (dba ~ v_err/dt) that then bends every window — the
+        # round-2 systematic-drift bug.
+        cw = np.asarray(prob.chain_weight).copy()
+        ci = np.asarray(prob.chain_i)
+        cw[fixed_vb[ci]] = 1e-2
         prob = prob._replace(fixed_pr=jnp.asarray(fixed_pr),
-                             fixed_vb=jnp.asarray(fixed_vb))
+                             fixed_vb=jnp.asarray(fixed_vb),
+                             chain_weight=jnp.asarray(cw))
         res = _vio_ba_jit(prob, self.cam, self._solve_cfg(),
                           cfg.stage_iters, False, False,
                           bool(self.enc_ring is not None))

@@ -58,12 +58,23 @@ class VioConfig:
     window_cap: int = 64            # IMU samples per frame gap
     init_window_cap: int = 512      # IMU samples per KF gap at init
     init_min_kfs: int = 12
-    init_min_span: float = 4.0      # seconds of KF baseline (ref: 15 s)
+    init_min_span: float = 4.0      # provisional init span (starts fusion)
+    # Final-acceptance span (IMU.FinalTime, reference default 15 s): the
+    # init solves re-run on every new KF over ALL keyframes until this
+    # much baseline exists — the linear ba estimate has error
+    # ~2*pose_err/dt^2 per KF pair, so only averaging over many
+    # BA-refined KFs makes it trustworthy.  The PRV keyframe backend
+    # engages only at final acceptance (IMUInitialization.cpp:1343-1351).
+    init_final_span: float = 15.0
     solve_scale: bool = False       # stereo/RGB-D
     # encoder (VEO/VIEO)
     use_encoder: bool = False
     enc_half_track: float = 0.28
     enc_sigma_v: float = 0.01
+    # keyframe backend (PRV sliding-window local BA + init-GBA)
+    use_backend: bool = True
+    backend_window: int = 10
+    run_init_gba: bool = True
 
 
 class VioFrontend:
@@ -79,7 +90,8 @@ class VioFrontend:
             np.asarray(tcb, np.float32)
         self.ring = OdomRing(1 << 16)
         self.enc_ring = OdomRing(1 << 14) if self.cfg.use_encoder else None
-        self.inited = False
+        self.inited = False             # provisional: per-frame fusion on
+        self.final_inited = False       # accepted: PRV backend engaged
         self.gw = np.array([0.0, 0.0, -9.81], np.float32)
         self.bg = np.zeros(3, np.float32)
         self.ba = np.zeros(3, np.float32)
@@ -87,6 +99,7 @@ class VioFrontend:
         self.prior_info = None
         self.last_t: Optional[float] = None
         self.kf_times: list[tuple[int, float]] = []   # (kf_id, timestamp)
+        self.backend = None           # VioBackend, created at VI init
 
     # ------------------------------------------------------------------
 
@@ -155,10 +168,47 @@ class VioFrontend:
             if tr.last_new_kf is not None:
                 self.kf_times.append((tr.last_new_kf, t))
                 self._store_kf_navstate(tr.last_new_kf)
-                if not self.inited:
+                if not self.final_inited:
+                    # run (or re-run) the VI init solves over ALL KFs —
+                    # the reference's 1 s TryInitVIO polling loop
+                    # (IMUInitialization.cpp:116-155) collapsed to
+                    # keyframe cadence.
                     self._maybe_init()
+                elif self.backend is not None:
+                    # PRV sliding-window local BA at keyframe cadence
+                    # (LocalMapping's LocalBundleAdjustmentNavStatePRV once
+                    # VINS is initialized, LocalMapping.cc:129-147).
+                    if self.backend.run_local_ba(tr.last_new_kf):
+                        self._rebase_from_kf(tr.last_new_kf)
         self.last_t = t
         return state
+
+    def _rebase_from_kf(self, k: int):
+        """Continue tracking from the backend-optimized keyframe state:
+        pose, NavState, and a fresh (empty) marginal prior — the window BA
+        re-linearized everything the prior summarized (the reference's
+        bMapUpdated path anchors the next motion BA on the last KeyFrame
+        instead of the prior, Optimizer.h:208 template switch)."""
+        m = self.sys.map
+        self.sys.tracker.rebase_to_keyframe(k)
+        z = jnp.zeros(3, jnp.float32)
+        self.ns_last = NavState(
+            R=jnp.asarray(m.kf_Rwb[k]), p=jnp.asarray(m.kf_pwb[k]),
+            v=jnp.asarray(m.kf_vwb[k]), bg=jnp.asarray(m.kf_bg[k]),
+            ba=jnp.asarray(m.kf_ba[k]), dbg=z, dba=z)
+        self.prior_info = self._fresh_prior()
+
+    @staticmethod
+    def _fresh_prior() -> np.ndarray:
+        """Moderate diagonal prior for a state just (re)based on a
+        solved keyframe: velocity and biases are trustworthy there, pose
+        stays loose (vision anchors it).  A 1e-6 free-float instead
+        opens the joint-bias null direction the motion solve can wander
+        along (see the trust-region note in solvers/vio_ba).  PVR+bias
+        order [p, v, phi, bg, ba]."""
+        return np.diag(np.concatenate([
+            np.full(3, 1e-2), np.full(3, 4e2), np.full(3, 1e-2),
+            np.full(3, 1e4), np.full(3, 1e2)])).astype(np.float32)
 
     # ------------------------------------------------------------------
 
@@ -227,6 +277,13 @@ class VioFrontend:
             )
         if not np.isfinite(np.asarray(out.ns.p)).all():
             return
+        # Physical sanity gate (the reference's forced-on asserts class):
+        # a solve that claims |bg| > 0.5 rad/s or |ba| > 3 m/s^2 has run
+        # away — keep the previous state rather than poisoning the chain.
+        bg_n = float(np.linalg.norm(np.asarray(out.ns.bg + out.ns.dbg)))
+        ba_n = float(np.linalg.norm(np.asarray(out.ns.ba + out.ns.dba)))
+        if bg_n > 0.5 or ba_n > 3.0:
+            return
         # Write the fused pose back into the tracker (and its velocity
         # model continues from it).
         Rcw, tcw = tcw_from_navstate(
@@ -248,6 +305,14 @@ class VioFrontend:
         m.kf_vwb[k] = np.asarray(ns.v)
         m.kf_bg[k] = np.asarray(ns.bg + ns.dbg)
         m.kf_ba[k] = np.asarray(ns.ba + ns.dba)
+        if self.inited:
+            # The joint VIO motion BA ran after KF creation; give the KF
+            # the fused pose (the reference's KeyFrame takes the
+            # post-PoseOptimization frame pose).
+            Rcw, tcw = tcw_from_navstate(
+                ns, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+            m.kf_Rcw[k] = np.asarray(Rcw, np.float32)
+            m.kf_tcw[k] = np.asarray(tcw, np.float32)
 
     def _maybe_init(self):
         cfg = self.cfg
@@ -325,5 +390,40 @@ class VioFrontend:
             bg=jnp.asarray(self.bg), ba=jnp.asarray(self.ba),
             dbg=jnp.zeros(3), dba=jnp.zeros(3),
         )
-        self.prior_info = None
+        self.prior_info = self._fresh_prior()
         self.inited = True
+        self.sys.mapper.vio_active = True
+        if span >= cfg.init_final_span:
+            # Final acceptance (mdFinalTime reached): freeze the init,
+            # engage the PRV keyframe backend + init-GBA.
+            self.final_inited = True
+            if cfg.use_backend:
+                self._attach_backend()
+
+    def _attach_backend(self):
+        """Create the PRV keyframe backend and run the init-GBA
+        (LoopClosing.cc:720-744: GlobalBundleAdjustmentNavStatePRV with
+        the gravity-direction vertex + initial bias prior)."""
+        from .backend import VioBackend, VioBackendConfig
+
+        cfg = self.cfg
+        self.backend = VioBackend(
+            self.sys.map, self.sys.cam, self.sys.bf, self.ring,
+            self.Rcb, self.tcb,
+            cfg=VioBackendConfig(window_size=cfg.backend_window,
+                                 sigma_g=cfg.sigma_g, sigma_a=cfg.sigma_a,
+                                 sigma_bg_rw=cfg.sigma_bg_rw,
+                                 sigma_ba_rw=cfg.sigma_ba_rw),
+            enc_ring=self.enc_ring,
+            enc_half_track=cfg.enc_half_track,
+            enc_sigma_v=cfg.enc_sigma_v)
+        self.backend.gravity = self.gw.copy()
+        # Vision-only local BA stops here; the PRV window BA replaces it.
+        self.sys.mapper.skip_local_ba = True
+        if cfg.run_init_gba:
+            if self.backend.run_global_ba(opt_scale=cfg.solve_scale,
+                                          opt_gdir=True, init_prior=True):
+                self.gw = self.backend.gravity.copy()
+                kfs = self.sys.map.keyframe_ids()
+                if len(kfs):
+                    self._rebase_from_kf(int(kfs[-1]))
