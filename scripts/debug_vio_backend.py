@@ -50,11 +50,15 @@ def main():
     bf = 400.0 * 0.2
     world = SyntheticWorld(WorldConfig(n_landmarks=4000, seed=3,
                                        extent=(6.0, 4.5, 3.0)))
-    n_frames = 120
-    ts = np.arange(n_frames) * 0.1
-    Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.25,
-                                           look_outward=True,
-                                           z_amp=0.15, pitch_amp=0.12)
+    fps = float(os.environ.get("DBG_FPS", "10"))
+    n_frames = int(os.environ.get("DBG_NFRAMES", "120"))
+    ts = np.arange(n_frames) / fps
+    omega = float(os.environ.get("DBG_OMEGA", "0.25"))
+    z_amp = float(os.environ.get("DBG_ZAMP", "0.15"))
+    pitch = float(os.environ.get("DBG_PITCH", "0.12"))
+    Rwc, twc, v_w, a_w = circle_trajectory(
+        ts, radius=1.0, omega=omega, look_outward=True,
+        z_amp=z_amp, z_omega=2.0, pitch_amp=pitch, pitch_omega=1.3)
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
     t_imu, gyro, acc = make_imu_samples(
         ts, Rwc.astype(np.float64), v_w, a_w, rate_hz=200.0,

@@ -52,9 +52,12 @@ def test_landmark_growth_and_slot_reuse():
 
 
 def test_keyframe_culling_redundancy_and_timespan():
-    from vieo_slam_tpu.backend.local_mapping import LocalMapper
+    from vieo_slam_tpu.backend.local_mapping import (LocalMapper,
+                                                     LocalMappingConfig)
     from vieo_slam_tpu.cameras import models as cm
 
+    cull_cfg = LocalMappingConfig(kf_cull_min_map=0, kf_cull_min_age=1,
+                                  kf_cull_max_per_pass=10)
     cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
     m = MapState(MapConfig(max_keyframes=32, max_landmarks=256, max_kp=16))
     lm_ids = m.add_landmarks(np.random.rand(16, 3).astype(np.float32),
@@ -63,7 +66,7 @@ def test_keyframe_culling_redundancy_and_timespan():
     for i in range(6):
         _add_kf(m, i, t=i * 0.1, lm_idx=lm_ids.astype(np.int64))
         np.add.at(m.lm_n_obs, lm_ids, 1)
-    mapper = LocalMapper(cam, 80.0, m)
+    mapper = LocalMapper(cam, 80.0, m, cull_cfg)
     k = int(m.keyframe_ids()[-1])
     mapper.cull_keyframes(k)
     assert m.n_keyframes() < 6          # some mid KFs culled
@@ -75,7 +78,7 @@ def test_keyframe_culling_redundancy_and_timespan():
     for i in range(6):
         _add_kf(m2, i, t=i * 0.4, lm_idx=lm2.astype(np.int64))
         np.add.at(m2.lm_n_obs, lm2, 1)
-    mapper2 = LocalMapper(cam, 80.0, m2)
+    mapper2 = LocalMapper(cam, 80.0, m2, cull_cfg)
     mapper2.vio_active = True           # 0.8 s gaps > 0.5 s cap
     mapper2.cull_keyframes(int(m2.keyframe_ids()[-1]))
     assert m2.n_keyframes() == 6

@@ -39,6 +39,9 @@ class LocalMappingConfig:
     ba_kf_pad: int = 4            # pad K to a multiple (compile reuse)
     ba_lm_pad: int = 1024         # pad M to a multiple
     kf_cull_redundancy: float = 0.9
+    kf_cull_max_per_pass: int = 1   # at most N culled per new KF
+    kf_cull_min_age: int = 6        # never cull the most recent KFs
+    kf_cull_min_map: int = 16       # keep small maps intact
 
 
 # A single jitted BA entry per padded shape; the pad sizes keep the number
@@ -343,10 +346,21 @@ class LocalMapper:
         from the time-keyed ring buffer, so erasure needs no splicing.
         """
         m = self.map
+        if m.n_keyframes() <= self.cfg.kf_cull_min_map:
+            return
         neigh, _ = m.covisible_keyframes(k, min_shared=15)
+        n_culled = 0
         for kf in neigh:
             if kf == 0 or kf == k:
                 continue
+            # Age guard + per-pass cap: the reference culls from an idle
+            # mapping thread a few KFs at a time; culling every recent KF
+            # of a slow-moving rig collapses the local window and wrecks
+            # the vision BA (observed: pre-init ATE 0.09 -> 0.64).
+            if k - kf < self.cfg.kf_cull_min_age:
+                continue
+            if n_culled >= self.cfg.kf_cull_max_per_pass:
+                break
             prev, nxt = int(m.kf_prev[kf]), int(m.kf_next[kf])
             if self.vio_active:
                 if prev < 0 or nxt < 0:
@@ -358,7 +372,9 @@ class LocalMapper:
             lms = lms[lms >= 0]
             if lms.size == 0:
                 m.erase_keyframe(int(kf))
+                n_culled += 1
                 continue
             redundant = (m.lm_n_obs[lms] >= 4).mean()
             if redundant > self.cfg.kf_cull_redundancy:
                 m.erase_keyframe(int(kf))
+                n_culled += 1

@@ -5,11 +5,13 @@ for candidate keyframes (KeyFrameDatabase::DetectRelocalizationCandidates),
 descriptor matching against each candidate's landmarks, minimal-solver
 RANSAC, then projection-based pose refinement.
 
-Solver difference from the reference (which uses EPnP P4P RANSAC,
-src/PnPsolver.cc): stereo/RGB-D frames carry metric depth per keypoint, so
-the 2D-3D problem is solved as batched 3D-3D Horn RANSAC
-(solvers/sim3_solver with the scale pinned) — one fixed-shape program for
-all hypotheses. Monocular relocalization (true PnP) is future work.
+Two solver paths, chosen by available depth:
+  - stereo/RGB-D frames carry metric depth per keypoint, so the 2D-3D
+    problem is solved as batched 3D-3D Horn RANSAC (solvers/sim3_solver
+    with the scale pinned);
+  - monocular frames (no depth) use the batched DLT PnP RANSAC
+    (solvers/pnp_solver) — the reference's EPnP P4P RANSAC equivalent
+    (src/PnPsolver.cc).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import numpy as np
 from ..cameras import models as cm
 from ..ops import matching
 from ..solvers.motion_ba import PoseObs, pose_optimization
+from ..solvers.pnp_solver import pnp_ransac
 from ..solvers.sim3_solver import sim3_ransac
 
 
@@ -38,12 +41,16 @@ def try_relocalize(system, loop_closer, frame) -> bool:
     cands = loop_closer.db.detect_reloc_candidates(np.asarray(bow), top_n=5)
 
     depth = np.asarray(frame.depth)
-    f_valid = np.asarray(frame.valid) & (depth > 0)
+    frame_valid = np.asarray(frame.valid)
+    depth_valid = frame_valid & (depth > 0)
+    rays = np.array(cm.unproject(system.cam, frame.uv))
+    use_pnp = depth_valid.sum() < 30        # monocular / depth-poor frame
+    f_valid = frame_valid if use_pnp else depth_valid
     if f_valid.sum() < 30:
         return False
-    rays = np.array(cm.unproject(system.cam, frame.uv))
-    p_frame = rays * depth[:, None]      # keypoint 3D in the frame
+    p_frame = rays * depth[:, None]         # keypoint 3D (depth path)
 
+    key = jax.random.PRNGKey(int(frame.timestamp * 1e3) & 0x7FFFFFFF)
     for c in cands:
         c = int(c)
         kp_has_lm = m.kf_kp_valid[c] & (m.kf_lm_idx[c] >= 0)
@@ -63,36 +70,49 @@ def try_relocalize(system, loop_closer, frame) -> bool:
             continue
         cap = 512
         n = min(rows.size, cap)
-        src = np.zeros((cap, 3), np.float32)
         dst = np.zeros((cap, 3), np.float32)
         val = np.zeros(cap, bool)
-        src[:n] = p_frame[rows[:n]]
         dst[:n] = m.lm_pw[lm[:n]]
         val[:n] = True
-        res = sim3_ransac(
-            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
-            jax.random.PRNGKey(int(frame.timestamp * 1e3) & 0x7FFFFFFF),
-            inlier_thresh=0.10, with_scale=False,
-        )
-        if int(res.n_inliers) < 15:
-            continue
-        # T_wf: frame->world. Camera pose Tcw = T_wf^-1.
-        R_wf = np.asarray(res.R)
-        t_wf = np.asarray(res.t)
-        Rcw = R_wf.T
-        tcw = -R_wf.T @ t_wf
-        # Refine against the candidate's local landmarks by projection.
+
+        if use_pnp:
+            src_rays = np.zeros((cap, 3), np.float32)
+            src_rays[:, 2] = 1.0
+            src_rays[:n] = rays[rows[:n]]
+            res = pnp_ransac(
+                jnp.asarray(src_rays), jnp.asarray(dst), jnp.asarray(val),
+                key, thresh=2.5 / float(system.cam.fx), min_inliers=12)
+            if not bool(res.ok):
+                continue
+            Rcw = np.asarray(res.Rcw, np.float64)
+            tcw = np.asarray(res.tcw, np.float64)
+            inl = np.asarray(res.inliers)
+        else:
+            src = np.zeros((cap, 3), np.float32)
+            src[:n] = p_frame[rows[:n]]
+            res = sim3_ransac(
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
+                key, inlier_thresh=0.10, with_scale=False,
+            )
+            if int(res.n_inliers) < 15:
+                continue
+            R_wf = np.asarray(res.R)    # frame->world
+            t_wf = np.asarray(res.t)
+            Rcw = R_wf.T
+            tcw = -R_wf.T @ t_wf
+            inl = np.asarray(res.inliers)
+
+        # Refine against the matched landmarks by projection.
         obs = PoseObs(
             pw=jnp.asarray(dst),
-            uv=frame.uv[jnp.asarray(np.clip(rows[:cap], 0, None))]
-            if False else jnp.asarray(
+            uv=jnp.asarray(
                 np.pad(np.asarray(frame.uv)[rows[:n]],
                        ((0, cap - n), (0, 0)))),
             ur=jnp.asarray(
                 np.pad(np.asarray(frame.ur)[rows[:n]], (0, cap - n),
                        constant_values=-1.0)),
             inv_sigma2=jnp.ones(cap, jnp.float32),
-            valid=jnp.asarray(val & np.asarray(res.inliers)),
+            valid=jnp.asarray(val & inl),
         )
         ref = pose_optimization(
             jnp.asarray(Rcw.astype(np.float32)),

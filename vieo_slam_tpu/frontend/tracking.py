@@ -50,6 +50,7 @@ class TrackerConfig:
     kf_min_interval: int = 1         # frames between KFs (min)
     kf_max_interval: int = 4         # force KF after this many frames
     lost_retry_radius: float = 80.0  # wide re-search before giving up
+    odomok_max_frames: int = 50      # dead-reckoning bridge length cap
     th_depth: float = 4.0            # mThDepth: init/creation depth gate
     max_level_tolerance: int = 8     # disables level gating when large
     # (stage1 rounds, stage1 iters, stage2 rounds, stage2 iters):
@@ -157,6 +158,8 @@ class Tracker:
         self.last_lm_ids: Optional[np.ndarray] = None
         self.last_new_kf: Optional[int] = None  # KF created this frame
         self.external_prediction = None  # (Rcw, tcw) from IMU propagation
+        self._last_pred_external = None  # prediction used this frame
+        self.odomok_frames = 0           # consecutive ODOMOK frames
         self.last_slab = None            # (pw, lm_ids) of the last track
         self._mono_init_frame: Optional[Frame] = None
         # trajectory log: (timestamp, Rcw, tcw, state)
@@ -200,7 +203,9 @@ class Tracker:
         if self.external_prediction is not None:
             R, t = self.external_prediction
             self.external_prediction = None
-            return R.astype(np.float32), t.astype(np.float32)
+            self._last_pred_external = (R.astype(np.float32),
+                                        t.astype(np.float32))
+            return self._last_pred_external
         if self.velocity is None:
             return self.Rcw, self.tcw
         dR, dt = self.velocity
@@ -373,9 +378,25 @@ class Tracker:
             )
             n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:
+            # ODOMOK bridge (Tracking::TrackWithOnlyOdom, src/Tracking.cc
+            # :79): a healthy odometry prediction carries the pose through
+            # a visual dropout instead of going LOST; each frame retries
+            # vision from the dead-reckoned pose.  Degrades to LOST after
+            # odomok_max_frames.
+            if (self._last_pred_external is not None
+                    and self.odomok_frames < self.cfg.odomok_max_frames):
+                self.Rcw, self.tcw = self._last_pred_external
+                self._last_pred_external = None
+                self.velocity = None
+                self.odomok_frames += 1
+                self.state = TrackState.ODOMOK
+                return
             self.state = TrackState.LOST
             self.velocity = None
+            self._last_pred_external = None
             return
+        self.odomok_frames = 0
+        self._last_pred_external = None
         R_prev, t_prev = self.Rcw.copy(), self.tcw.copy()
         self.Rcw = np.asarray(res.Rcw)
         self.tcw = np.asarray(res.tcw)

@@ -152,6 +152,14 @@ class VioFrontend:
 
         state = self.sys.track_frame(frame)
 
+        if state.name == "ODOMOK" and pre is not None:
+            # Visual dropout bridged by dead-reckoning: carry the
+            # propagated NavState forward (TrackWithOnlyOdom keeps the
+            # IMU state alive through the outage, Tracking.cc:79-155).
+            self.ns_last = self._propagate(self.ns_last, pre)
+            self.last_t = t
+            return state
+
         if state.name in ("OK",):
             if self.inited and pre is not None:
                 self._fuse(frame, pre)
