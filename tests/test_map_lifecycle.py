@@ -82,3 +82,51 @@ def test_keyframe_culling_redundancy_and_timespan():
     mapper2.vio_active = True           # 0.8 s gaps > 0.5 s cap
     mapper2.cull_keyframes(int(m2.keyframe_ids()[-1]))
     assert m2.n_keyframes() == 6
+
+
+def test_landmark_geometry_and_predict_scale():
+    """MapPoint maintenance: distinctive descriptor = min-median-Hamming
+    member, normal = mean viewing ray, PredictScale inverts the
+    scale-invariance band (src/MapPoint.cc)."""
+    m = MapState(MapConfig(max_keyframes=8, max_landmarks=32, max_kp=8,
+                           n_levels=8, scale_factor=1.2))
+    rng = np.random.RandomState(0)
+    lm = m.add_landmarks(np.asarray([[0.0, 0.0, 5.0]], np.float32),
+                         np.zeros((1, 8), np.uint32), first_kf=0)
+    base = rng.randint(0, 2 ** 32, 8, dtype=np.uint64).astype(np.uint32)
+    descs = np.tile(base, (3, 1))
+    descs[1, 0] ^= 0x3        # 2-bit flip
+    descs[2] = rng.randint(0, 2 ** 32, 8, dtype=np.uint64).astype(
+        np.uint32)            # far outlier
+    for j, tx in enumerate((-0.5, 0.0, 0.5)):
+        n = 8
+        lm_idx = np.full(n, -1, np.int64)
+        lm_idx[0] = lm[0]
+        desc = np.zeros((n, 8), np.uint32)
+        desc[0] = descs[j]
+        level = np.zeros(n, np.int32)
+        level[0] = 2
+        m.add_keyframe(
+            Rcw=np.eye(3, dtype=np.float32),
+            tcw=np.asarray([tx, 0, 0], np.float32),
+            timestamp=j * 0.1, frame_id=j,
+            uv=np.zeros((n, 2), np.float32), level=level, desc=desc,
+            ur=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
+            kp_valid=np.ones(n, bool), lm_idx=lm_idx)
+    m.update_landmark_geometry(lm)
+    # representative descriptor = one of the two near-identical ones
+    d0 = int(np.bitwise_count(m.lm_desc[lm[0]] ^ base).sum())
+    assert d0 <= 2, d0
+    # normal points from the cameras toward the landmark (+z)
+    assert m.lm_normal[lm[0]][2] > 0.9
+    # band: ref KF center [0.5,0,0], landmark [0,0,5], level 2
+    ref_dist = np.sqrt(0.5 ** 2 + 5 ** 2)
+    assert abs(m.lm_max_dist[lm[0]] - ref_dist * 1.2 ** 2) < 1e-3
+    # predict_scale: from the ref KF's own centre, level == ref level
+    lvl = m.predict_scale(lm, np.asarray([0.5, 0, 0], np.float32))
+    assert lvl[0] == 2, lvl
+    # closer -> finer level (higher octave number = coarser in ORB terms:
+    # closer means LARGER apparent scale -> higher predicted octave)
+    lvl_close = m.predict_scale(lm, np.asarray([0, 0, 2.5], np.float32))
+    assert lvl_close[0] > 2

@@ -74,15 +74,28 @@ class LocalMapper:
 
     def process_keyframe(self, k: int):
         """Full LocalMapping::Run body for one new keyframe."""
-        new_ids = self.create_close_landmarks(k)
-        tri_ids = self.triangulate_new_landmarks(k)
+        from ..utils.metrics import metrics
+
+        with metrics.timer("lm.create_points"):
+            new_ids = self.create_close_landmarks(k)
+            tri_ids = self.triangulate_new_landmarks(k)
         new_ids = np.concatenate([new_ids, tri_ids])
+        metrics.count("landmarks_created", int(new_ids.size))
         if new_ids.size:
             self.recent_lms.append((k, new_ids))
-        self.cull_landmarks(k)
+        with metrics.timer("lm.cull"):
+            self.cull_landmarks(k)
         if not self.skip_local_ba:
-            self.run_local_ba(k)
-        self.cull_keyframes(k)
+            with metrics.timer("lm.local_ba"):
+                self.run_local_ba(k)
+        with metrics.timer("lm.kf_cull"):
+            self.cull_keyframes(k)
+        # MapPoint maintenance (distinctive descriptor, normal, scale
+        # band) over everything this KF touches — src/MapPoint.cc
+        # ComputeDistinctiveDescriptors / UpdateNormalAndDepth.
+        m = self.map
+        touched = m.kf_lm_idx[k]
+        m.update_landmark_geometry(touched[touched >= 0])
 
     # ------------------------------------------------------------------
 
@@ -274,11 +287,16 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def run_global_ba(self, *, stage_iters=(8, 12)):
+    def run_global_ba(self, *, stage_iters=(8, 12), distributed=None):
         """Full-map BA (GlobalBundleAdjustment, Optimizer.cc:1346): all
         keyframes free except the first (gauge), all landmarks. Invoked
         after loop closing (the reference's GBA thread) and by
-        System.final_global_ba."""
+        System.final_global_ba.
+
+        distributed: route through parallel.dist_ba (landmark-sharded
+        Schur over the device mesh).  None = auto: engage when more than
+        one device exists and the landmark block is large enough that the
+        Schur fill dominates the per-iteration psum."""
         m = self.map
         kfs = m.keyframe_ids()
         if len(kfs) < 3:
@@ -291,14 +309,44 @@ class LocalMapper:
             return
         prob_np, kf_order, lm_ids = m.build_ba_problem(window, ring, lm_ids)
         prob = self._pad_problem(prob_np)
-        res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32),
-                      stage_iters=stage_iters)
         K, M = len(kf_order), len(lm_ids)
-        m.apply_ba_result(
-            kf_order, lm_ids,
-            np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
-            np.asarray(res.pw)[:M], n_free=len(window),
-        )
+        n_dev = len(jax.devices())
+        if distributed is None:
+            distributed = n_dev > 1 and prob.pw.shape[0] >= 8192
+        if distributed and n_dev > 1:
+            from ..parallel.dist_ba import distributed_ba, make_ba_mesh
+
+            # pad M to a device multiple for the even shard
+            Mp = -(-prob.pw.shape[0] // n_dev) * n_dev
+            if Mp != prob.pw.shape[0]:
+                pad = Mp - prob.pw.shape[0]
+
+                def padm(a, fill=0):
+                    w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                    return jnp.asarray(np.pad(np.asarray(a), w,
+                                              constant_values=fill))
+                prob = prob._replace(
+                    pw=padm(prob.pw), lm_valid=padm(prob.lm_valid, False),
+                    obs_kf=padm(prob.obs_kf, -1), obs_uv=padm(prob.obs_uv),
+                    obs_ur=padm(prob.obs_ur, -1.0),
+                    obs_inv_sigma2=padm(prob.obs_inv_sigma2, 1.0),
+                    obs_valid=padm(prob.obs_valid, False))
+            mesh = make_ba_mesh()
+            Rcw, tcw, pw = distributed_ba(
+                prob, self.cam, jnp.asarray(self.bf, jnp.float32), mesh,
+                iters=sum(stage_iters))
+            m.apply_ba_result(
+                kf_order, lm_ids,
+                np.asarray(Rcw)[:K], np.asarray(tcw)[:K],
+                np.asarray(pw)[:M], n_free=len(window))
+        else:
+            res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32),
+                          stage_iters=stage_iters)
+            m.apply_ba_result(
+                kf_order, lm_ids,
+                np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
+                np.asarray(res.pw)[:M], n_free=len(window),
+            )
         m.big_change_idx += 1
 
     # ------------------------------------------------------------------

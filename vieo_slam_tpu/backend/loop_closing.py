@@ -82,6 +82,22 @@ class LoopCloser:
                                     L=self.cfg.voc_L, seed=0)
         return True
 
+    def rebuild_database(self):
+        """Re-create the vocabulary + inverted file from the CURRENT map
+        (map reuse: System::LoadMap re-adds every KF so relocalization
+        and loop detection work against the loaded keyframes)."""
+        self.kf_bow = {}
+        self.db = None
+        self.voc = None
+        self._pending = {}
+        if not self._ensure_vocabulary():
+            return False
+        self.db = KeyFrameDatabase(self.voc.n_words,
+                                   capacity=self.map.cfg.max_keyframes)
+        for k in self.map.keyframe_ids():
+            self.db.add(int(k), self._bow_of(int(k)))
+        return True
+
     def _bow_of(self, k: int) -> np.ndarray:
         if k not in self.kf_bow:
             m = self.map

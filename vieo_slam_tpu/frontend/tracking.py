@@ -51,6 +51,7 @@ class TrackerConfig:
     kf_max_interval: int = 4         # force KF after this many frames
     lost_retry_radius: float = 80.0  # wide re-search before giving up
     odomok_max_frames: int = 50      # dead-reckoning bridge length cap
+    use_predicted_scale: bool = False  # PredictScale-driven search radii
     th_depth: float = 4.0            # mThDepth: init/creation depth gate
     max_level_tolerance: int = 8     # disables level gating when large
     # (stage1 rounds, stage1 iters, stage2 rounds, stage2 iters):
@@ -187,6 +188,14 @@ class Tracker:
         pw[:M] = self.map.lm_pw[lm_ids]
         desc[:M] = self.map.lm_desc[lm_ids]
         valid[:M] = True
+        if self.cfg.use_predicted_scale:
+            # PredictScale from the current camera centre: scales the
+            # search radius per landmark (MapPoint::PredictScale).  Only
+            # meaningful when keypoint octaves are physical (image-level
+            # ORB); the feature-level simulator assigns levels randomly,
+            # where this would just loosen the windows.
+            cam_center = -self.Rcw.T @ self.tcw
+            level[:M] = self.map.predict_scale(lm_ids, cam_center)
         ids = np.full(cap, -1, np.int64)
         ids[:M] = lm_ids
         return pw, desc, level, valid, ids

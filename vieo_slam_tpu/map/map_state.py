@@ -343,6 +343,75 @@ class MapState:
         obs_kp[j_s[fit], rank[fit]] = i_s[fit]
         return obs_kf, obs_kp
 
+    def update_landmark_geometry(self, lm_ids: np.ndarray):
+        """MapPoint maintenance (src/MapPoint.cc):
+        ComputeDistinctiveDescriptors (min-median-Hamming representative),
+        UpdateNormalAndDepth (mean viewing ray + scale-invariance distance
+        band from the reference KF's observation level).
+
+        Vectorized over landmarks x observations; call after landmark
+        creation / fuse / BA at keyframe cadence."""
+        lm_ids = np.asarray(lm_ids, int)
+        lm_ids = lm_ids[self.lm_valid[lm_ids]]
+        if lm_ids.size == 0:
+            return
+        obs_kf, obs_kp = self.landmark_observations(lm_ids)
+        M, O = obs_kf.shape
+        has = obs_kf >= 0
+        kc = np.clip(obs_kf, 0, None)
+        ic = np.clip(obs_kp, 0, None)
+
+        # --- distinctive descriptor: min median pairwise distance ------
+        desc = self.kf_desc[kc, ic]                     # [M, O, 8] uint32
+        x = desc[:, :, None, :] ^ desc[:, None, :, :]
+        d = np.bitwise_count(x).sum(-1).astype(np.float32)   # [M, O, O]
+        pair_ok = has[:, :, None] & has[:, None, :]
+        d = np.where(pair_ok, d, np.nan)
+        # rows without an observation get zeros (not all-NaN) and are
+        # masked to inf below — keeps nanmedian warning-free.
+        med = np.nanmedian(np.where(has[:, :, None], d, 0.0), axis=2)
+        med = np.where(has, med, np.inf)
+        best = np.nanargmin(np.where(np.isfinite(med), med, 1e9), axis=1)
+        any_obs = has.any(axis=1)
+        sel = lm_ids[any_obs]
+        self.lm_desc[sel] = desc[np.arange(M), best][any_obs]
+
+        # --- normal + scale-invariance band ----------------------------
+        Rcw = self.kf_Rcw[kc]                           # [M, O, 3, 3]
+        tcw = self.kf_tcw[kc]
+        centers = -np.einsum("moji,moj->moi", Rcw, tcw)
+        rays = self.lm_pw[lm_ids][:, None, :] - centers
+        norms = np.linalg.norm(rays, axis=-1)
+        rays = rays / np.maximum(norms, 1e-9)[..., None]
+        w = has.astype(np.float32)
+        normal = (rays * w[..., None]).sum(1) / np.maximum(
+            w.sum(1), 1.0)[:, None]
+        nn = np.linalg.norm(normal, axis=-1)
+        normal = normal / np.maximum(nn, 1e-9)[:, None]
+        self.lm_normal[sel] = normal[any_obs].astype(np.float32)
+
+        # reference KF = first observation; its level sets the band
+        ref_k = kc[np.arange(M), np.argmax(has, axis=1)]
+        ref_i = ic[np.arange(M), np.argmax(has, axis=1)]
+        dist = norms[np.arange(M), np.argmax(has, axis=1)]
+        lvl = self.kf_level[ref_k, ref_i]
+        scales = self.level_scales
+        max_d = dist * scales[np.clip(lvl, 0, len(scales) - 1)]
+        min_d = max_d / scales[-1]
+        self.lm_max_dist[sel] = max_d[any_obs].astype(np.float32)
+        self.lm_min_dist[sel] = min_d[any_obs].astype(np.float32)
+
+    def predict_scale(self, lm_ids: np.ndarray,
+                      cam_center: np.ndarray) -> np.ndarray:
+        """MapPoint::PredictScale — expected pyramid octave of each
+        landmark when viewed from `cam_center`."""
+        lm_ids = np.asarray(lm_ids, int)
+        dist = np.linalg.norm(self.lm_pw[lm_ids] - cam_center, axis=-1)
+        max_d = np.maximum(self.lm_max_dist[lm_ids], 1e-6)
+        ratio = np.maximum(max_d / np.maximum(dist, 1e-6), 1e-6)
+        lvl = np.ceil(np.log(ratio) / np.log(self.cfg.scale_factor) - 1e-5)
+        return np.clip(lvl, 0, self.cfg.n_levels - 1).astype(np.int32)
+
     def covisible_keyframes(self, k: int, min_shared: int = 15):
         """Weighted covisibility neighbours of keyframe k
         (KeyFrame::UpdateConnections semantics: >= 15 shared landmarks).

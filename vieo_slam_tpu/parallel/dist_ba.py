@@ -159,29 +159,68 @@ def distributed_ba_step(prob: BAProblem, cam: cm.Camera, bf,
     return step(prob, active, jnp.asarray(lam, prob.tcw.dtype))
 
 
+def _shard_cost(p: BAProblem, cam, bf, active, axis: str):
+    """Replicated total robust cost: per-shard partial + one psum."""
+    from ..solvers.local_ba import _total_cost
+
+    c = _total_cost(p.Rcw, p.tcw, p.pw, p, cam, bf, active)
+    return jax.lax.psum(c, axis)
+
+
 def distributed_ba(prob: BAProblem, cam: cm.Camera, bf, mesh: Mesh,
                    *, iters: int = 10, axis: str = "lm",
                    init_lambda: float = 1e-4):
-    """Fixed-iteration distributed BA (monotone damping schedule).
+    """Distributed Levenberg-Marquardt BA with true accept/reject.
 
-    A full accept/reject LM needs a replicated cost reduction per step
-    (one extra psum); for the dry-run/scale harness a fixed halving
-    schedule is sufficient and keeps the program a pure scan.
+    Each iteration: one psum for the reduced camera system (inside
+    distributed_ba_step) + one psum of the scalar robust cost for the
+    replicated accept/reject decision — the same LM semantics as the
+    single-device solvers.local_ba, scaled over the landmark shard.
     """
+    in_specs = BAProblem(
+        Rcw=P(), tcw=P(), fixed=P(),
+        pw=P(axis), lm_valid=P(axis), obs_kf=P(axis),
+        obs_uv=P(axis), obs_ur=P(axis),
+        obs_inv_sigma2=P(axis), obs_valid=P(axis),
+    )
+
     prob = shard_problem(prob, mesh, axis)
     active = prob.obs_valid
+    dtype = prob.tcw.dtype
 
     @jax.jit
-    def run(prob, active):
-        def body(carry, lam):
-            p = carry
-            Rcw, tcw, pw = distributed_ba_step(p, cam, bf, active, lam,
-                                               mesh, axis)
-            return p._replace(Rcw=Rcw, tcw=tcw, pw=pw), None
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(in_specs, P(axis)),
+        out_specs=(P(), P(), P(axis)),
+    )
+    def run(p: BAProblem, active_l):
+        def body(carry, _):
+            p, lam, cost = carry
+            dx, V_inv, bl, Wc, has_obs = _partial_schur(
+                p.Rcw, p.tcw, p.pw, p, cam, bf, active_l, lam, axis)
+            kf_i = jnp.clip(p.obs_kf, 0)
+            Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx[kf_i])
+            dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
+            dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
+            dRs, dts = lie.se3_exp(dx)
+            Rcw_n = (dRs @ p.Rcw).astype(p.Rcw.dtype)
+            tcw_n = (jnp.einsum("kij,kj->ki", dRs, p.tcw) + dts).astype(
+                p.tcw.dtype)
+            pw_n = (p.pw + dl).astype(p.pw.dtype)
+            cand = p._replace(Rcw=Rcw_n, tcw=tcw_n, pw=pw_n)
+            new_cost = _shard_cost(cand, cam, bf, active_l, axis).astype(
+                dtype)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost)
+            p = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0).astype(dtype)
+            cost = jnp.where(accept, new_cost, cost)
+            return (p, lam, cost), None
 
-        lams = init_lambda * (0.7 ** jnp.arange(iters, dtype=prob.tcw.dtype))
-        p, _ = jax.lax.scan(body, prob, lams)
-        return p
+        cost0 = _shard_cost(p, cam, bf, active_l, axis).astype(dtype)
+        (p, _, cost), _ = jax.lax.scan(
+            body, (p, jnp.asarray(init_lambda, dtype), cost0), None,
+            length=iters)
+        return p.Rcw, p.tcw, p.pw
 
-    out = run(prob, active)
-    return out.Rcw, out.tcw, out.pw
+    return run(prob, active)

@@ -26,6 +26,7 @@ from .cameras import models as cm
 from .frontend.frame import Frame
 from .frontend.tracking import Tracker, TrackerConfig, TrackState  # noqa: F401
 from .map.map_state import MapConfig, MapState
+from .utils.metrics import metrics
 
 
 class SensorMode(enum.Enum):
@@ -62,26 +63,40 @@ class System:
     def track_frame(self, frame: Frame) -> TrackState:
         """Track one pre-built Frame (feature-level entry; image-level
         wrappers in frontend.frame build Frames from pixels)."""
-        state = self.tracker.track(frame)
-        if state == TrackState.LOST and self.loop_closer is not None:
-            # Relocalization against the keyframe database
-            # (Tracking::Relocalization path).
-            from .frontend.relocalization import try_relocalize
+        with metrics.timer("frame"):
+            with metrics.timer("track"):
+                state = self.tracker.track(frame)
+            if state == TrackState.LOST and self.loop_closer is not None:
+                # Relocalization against the keyframe database
+                # (Tracking::Relocalization path).
+                from .frontend.relocalization import try_relocalize
 
-            if try_relocalize(self, self.loop_closer, frame):
-                state = self.tracker.state
-        new_kf = self.tracker.last_new_kf
-        if new_kf is not None and not self.cfg.localization_only:
-            self.mapper.process_keyframe(new_kf)
-            if self.loop_closer is not None:
-                if self.loop_closer.process_keyframe(new_kf):
-                    # Loop closed: grind the pose-graph solution down with
-                    # a global BA (the reference's GBA thread,
-                    # LoopClosing::RunGlobalBundleAdjustment).
-                    self.mapper.run_global_ba()
-            # Local BA may have moved the new KF (and the map): rebase the
-            # tracker's pose so the next prediction is map-consistent.
-            self.tracker.rebase_to_keyframe(new_kf)
+                with metrics.timer("relocalize"):
+                    if try_relocalize(self, self.loop_closer, frame):
+                        state = self.tracker.state
+                metrics.count("reloc_attempts")
+            new_kf = self.tracker.last_new_kf
+            if new_kf is not None and not self.cfg.localization_only:
+                metrics.count("keyframes")
+                with metrics.timer("local_mapping"):
+                    self.mapper.process_keyframe(new_kf)
+                if self.loop_closer is not None:
+                    with metrics.timer("loop_closing"):
+                        closed = self.loop_closer.process_keyframe(new_kf)
+                    if closed:
+                        # Loop closed: grind the pose-graph solution down
+                        # with a global BA (the reference's GBA thread,
+                        # LoopClosing::RunGlobalBundleAdjustment).
+                        metrics.count("loops_closed")
+                        with metrics.timer("gba"):
+                            self.mapper.run_global_ba()
+                # Local BA may have moved the new KF (and the map): rebase
+                # the tracker's pose so the next prediction is
+                # map-consistent.
+                self.tracker.rebase_to_keyframe(new_kf)
+        metrics.set_gauge("map_keyframes", int(self.map.n_keyframes()))
+        metrics.set_gauge("map_landmarks", int(self.map.n_landmarks()))
+        metrics.count(f"state_{state.name}")
         return state
 
     # ------------------------------------------------------------------
@@ -112,13 +127,64 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def save_map(self, path: str):
+        """System::SaveMap (src/System.cc:272): persist the sparse map."""
+        from .io.serialization import save_map
+        save_map(self.map, path)
+
+    def load_map(self, path: str):
+        """System::LoadMap + MAP_REUSE (src/System.cc:69-270, :578-586):
+        replace the live map with the checkpoint, rebuild the
+        place-recognition database from the loaded keyframes, and put the
+        tracker into a lost-until-relocalized state so the next frame
+        relocalizes against the loaded map."""
+        from .io.serialization import load_map
+
+        self.map = load_map(path)
+        self.tracker.map = self.map
+        self.mapper.map = self.map
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.map
+            self.loop_closer.rebuild_database()
+        self.tracker.state = TrackState.LOST
+        self.tracker.velocity = None
+        self.tracker.last_kf_id = int(self.map.keyframe_ids()[-1]) \
+            if self.map.n_keyframes() else -1
+
+    def set_localization_mode(self, on: bool):
+        """ActivateLocalizationMode / DeactivateLocalizationMode
+        (System.cc:636-711 mode switch inside TrackStereo): tracking-only
+        when on — no keyframes, no mapping."""
+        self.cfg.localization_only = bool(on)
+
+    def reset(self):
+        """System::Reset: fresh map, tracker re-initializes."""
+        self.map = MapState(self.cfg.map)
+        self.tracker = Tracker(self.cam, self.bf, self.map,
+                               self.cfg.tracker)
+        self.mapper = LocalMapper(self.cam, self.bf, self.map,
+                                  self.cfg.mapper)
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.map
+            self.loop_closer.db = None
+
     def final_global_ba(self):
         """System::FinalGBA (System.cc:24): one full-map BA at shutdown,
         the reference's with/without-full-BA A/B output."""
         self.mapper.run_global_ba(stage_iters=(10, 15))
 
-    def shutdown(self):
-        """Flush pending device work (System::Shutdown)."""
+    def metrics_report(self) -> dict:
+        """Per-stage timing stats + event counters (the reference's
+        mlog::Timer cumulative report + GetTrackingState poll API,
+        System.h:131-136)."""
+        return metrics.report()
+
+    def shutdown(self, print_report: bool = False):
+        """Flush pending device work (System::Shutdown); optionally print
+        the per-stage timing report (stereo_euroc.cc:325-333 exit
+        report)."""
         import jax
         # Block on any async dispatches still in flight.
         jax.effects_barrier()
+        if print_report:
+            print(metrics.format_report())

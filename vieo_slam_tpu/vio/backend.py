@@ -44,6 +44,13 @@ class VioBackendConfig:
     lm_pad: int = 1024
     stage_iters: tuple = (4, 6)
     gba_stage_iters: tuple = (6, 10)
+    # Zero-mean bias prior applied to the newest window KF in the local
+    # BA (spreads through the stiff bias-RW chains).  Bias components
+    # unobservable in low-excitation segments (e.g. the gravity-axis
+    # accel bias under yaw-only motion) otherwise absorb velocity error
+    # and bend every window — this bounds them at the prior scale.
+    window_prior_sigma_bg: float = 0.02
+    window_prior_sigma_ba: float = 0.12
 
 
 @functools.partial(jax.jit, static_argnames=("stage_iters", "opt_scale",
@@ -339,9 +346,15 @@ class VioBackend:
         cw = np.asarray(prob.chain_weight).copy()
         ci = np.asarray(prob.chain_i)
         cw[fixed_vb[ci]] = 1e-2
+        info6 = np.concatenate([
+            np.full(3, 1.0 / self.cfg.window_prior_sigma_bg ** 2),
+            np.full(3, 1.0 / self.cfg.window_prior_sigma_ba ** 2),
+        ]).astype(np.float32)
         prob = prob._replace(fixed_pr=jnp.asarray(fixed_pr),
                              fixed_vb=jnp.asarray(fixed_vb),
-                             chain_weight=jnp.asarray(cw))
+                             chain_weight=jnp.asarray(cw),
+                             prior_idx=jnp.asarray(n_window - 1, jnp.int32),
+                             prior_info6=jnp.asarray(info6))
         res = _vio_ba_jit(prob, self.cam, self._solve_cfg(),
                           cfg.stage_iters, False, False,
                           bool(self.enc_ring is not None))
