@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--vio", action="store_true")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--frames", type=int, default=140)
+    ap.add_argument("--viewer", action="store_true",
+                    help="save map snapshots to /tmp/vieo_viewer/")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +58,12 @@ def main():
                                rate_hz=200.0, noise_g=1e-4, noise_a=1e-3)
         front = vio
 
+    viewer = None
+    if args.viewer:
+        from vieo_slam_tpu.viz import Viewer
+
+        viewer = Viewer("/tmp/vieo_viewer", every_n_kf=5)
+
     rng = np.random.RandomState(21)
     t0 = time.time()
     imu_i = 0
@@ -73,6 +81,8 @@ def main():
             obs["valid"], ur=obs["ur"], depth=obs["depth"],
             timestamp=ts[i])
         st = front.track_frame(frame)
+        if viewer is not None:
+            viewer.poll(sys_)
         if i % 20 == 0:
             print(f"frame {i:4d} state={st.name} "
                   f"kfs={sys_.map.n_keyframes()} "

@@ -127,5 +127,8 @@ def try_relocalize(system, loop_closer, frame) -> bool:
         from .tracking import TrackState
 
         tr.state = TrackState.OK
+        # signals the VIO frontend to run the post-reloc bias recompute
+        # (RecomputeIMUBiasAndCurrentNavstate, Tracking.cc:548)
+        tr.just_relocalized = True
         return True
     return False

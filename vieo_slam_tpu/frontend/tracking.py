@@ -161,6 +161,8 @@ class Tracker:
         self.external_prediction = None  # (Rcw, tcw) from IMU propagation
         self._last_pred_external = None  # prediction used this frame
         self.odomok_frames = 0           # consecutive ODOMOK frames
+        self.just_relocalized = False    # set by relocalization, read+
+                                         # cleared by the VIO frontend
         self.last_slab = None            # (pw, lm_ids) of the last track
         self._mono_init_frame: Optional[Frame] = None
         # trajectory log: (timestamp, Rcw, tcw, state)

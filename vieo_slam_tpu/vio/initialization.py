@@ -276,3 +276,42 @@ def try_init_vio(
         t_kf, R_wb, p_wc, R_wc, pcb, pre1, gw1, solve_scale=solve_scale)
     return VioInit(bg=bg, ba=ba, scale=s2, gw=gw2, v=v2,
                    cond=jnp.maximum(cond1, cond2))
+
+
+def recompute_bias_navstate(
+    t_kf, R_wc, p_wc, Rcb, tcb,
+    gyro_w, acc_w, dt_w, mask_w,
+    gw0, sigma_g: float, sigma_a: float,
+) -> VioInit:
+    """Post-relocalization bias + NavState recompute
+    (Tracking::RecomputeIMUBiasAndCurrentNavstate, src/Tracking.cc:548-684,
+    VIORBSLAM IV-E): the same gyro-bias GN + re-preintegration + linear
+    accel-bias/velocity solve as VI init, but over the ~20 frames tracked
+    since relocalization and with the gravity vector KEPT from the
+    original initialization (scale is known, gravity already converged —
+    only bg, ba, and velocities are unknowns)."""
+    from ..math.preintegration import preintegrate_imu
+
+    dtype = p_wc.dtype
+    Rcb = jnp.asarray(Rcb, dtype)
+    tcb = jnp.asarray(tcb, dtype)
+    R_wc = jnp.asarray(R_wc, dtype)
+    Rbc = jnp.swapaxes(Rcb, -1, -2)
+    pcb = -jnp.einsum("ij,j->i", Rbc, tcb)
+    R_wb = R_wc @ jnp.broadcast_to(Rcb, R_wc.shape)
+
+    zeros3 = jnp.zeros(3, dtype)
+    pre0 = jax.vmap(
+        lambda g, a, d, m: preintegrate_imu(
+            g, a, d, zeros3, zeros3, sigma_g, sigma_a, mask=m)
+    )(gyro_w, acc_w, dt_w, mask_w)
+    bg = solve_gyro_bias(R_wb, pre0)
+    pre1 = jax.vmap(
+        lambda g, a, d, m: preintegrate_imu(
+            g, a, d, bg, zeros3, sigma_g, sigma_a, mask=m)
+    )(gyro_w, acc_w, dt_w, mask_w)
+    _, gw, ba, v, cond = refine_with_gravity_mag(
+        t_kf, R_wb, p_wc, R_wc, pcb, pre1, jnp.asarray(gw0, dtype),
+        solve_scale=False)
+    return VioInit(bg=bg, ba=ba, scale=jnp.asarray(1.0, dtype), gw=gw,
+                   v=v, cond=cond)
