@@ -50,6 +50,39 @@ class TestMonocularInit:
         g = np.asarray(res.good)
         assert g[:60].mean() < 0.2 and g[60:].mean() > 0.7
 
+    def test_planar_scene_homography_path(self):
+        """All landmarks on one plane: the essential model is degenerate
+        (any E fitting the induced homography scores high), the H model
+        must win the race and recover the motion
+        (Initializer::ReconstructH, src/Initializer.cc)."""
+        rng = np.random.RandomState(4)
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        # plane z = 4 + 0.3x + 0.1y (tilted wall)
+        xy = rng.randn(300, 2).astype(np.float32) * [2.0, 1.5]
+        z = 4.0 + 0.3 * xy[:, 0] + 0.1 * xy[:, 1]
+        pw = np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+        R21, t21 = lie.se3_exp(jnp.asarray(
+            [0.04, -0.03, 0.06, 0.25, -0.12, 0.08], jnp.float32))
+        t21 = t21 / jnp.linalg.norm(t21)
+        uv1 = np.array(cm.project(cam, jnp.asarray(pw)))
+        p2 = pw @ np.asarray(R21).T + np.asarray(t21)
+        uv2 = np.array(cm.project(cam, jnp.asarray(p2)))
+        uv1 += rng.randn(300, 2) * 0.3
+        uv2 += rng.randn(300, 2) * 0.3
+        uv2[:45] = rng.rand(45, 2) * [640, 480]   # 15% mismatches
+        res = monocular_init(
+            jnp.asarray(uv1.astype(np.float32)),
+            jnp.asarray(uv2.astype(np.float32)),
+            jnp.ones(300, bool), cam, jax.random.PRNGKey(3))
+        assert bool(res.ok)
+        dR = np.asarray(res.R21) @ np.asarray(R21).T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 0.02, ang
+        cos = abs(float(np.asarray(res.t21) @ np.asarray(t21)))
+        assert cos > 0.99, cos
+        g = np.asarray(res.good)
+        assert g[45:].mean() > 0.6
+
     def test_rejects_pure_rotation(self):
         rng = np.random.RandomState(1)
         cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
