@@ -300,7 +300,9 @@ class LoopCloser:
             prob.R, prob.t, prob.s, out.R, out.t, out.s)
         m.lm_pw[lm_ids] = np.asarray(pw_new)
         # scale-normalize rotations back onto SE3 for storage.
-        m.kf_Rcw[kfs] = R_new
+        from ..math.lie import normalize_rotation_np
+
+        m.kf_Rcw[kfs] = normalize_rotation_np(R_new)
         m.kf_tcw[kfs] = t_new / np.maximum(s_new[:, None], 1e-9)
         m.big_change_idx += 1
         m.version += 1

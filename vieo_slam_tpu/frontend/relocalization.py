@@ -120,7 +120,9 @@ def try_relocalize(system, loop_closer, frame) -> bool:
             obs, system.cam, system.bf, rounds=2, iters_per_round=5)
         if int(ref.n_inliers) < 15:
             continue
-        tr.Rcw = np.asarray(ref.Rcw, np.float32)
+        from ..math.lie import normalize_rotation_np
+
+        tr.Rcw = normalize_rotation_np(np.asarray(ref.Rcw, np.float32))
         tr.tcw = np.asarray(ref.tcw, np.float32)
         tr.velocity = None
         tr.last_kf_id = c

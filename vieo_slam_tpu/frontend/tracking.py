@@ -26,6 +26,7 @@ import numpy as np
 
 from ..cameras import models as cm
 from ..map.map_state import MapState
+from ..math.lie import normalize_rotation_np
 from ..ops import matching
 from ..solvers.motion_ba import PoseObs, pose_optimization
 from .frame import Frame
@@ -337,7 +338,7 @@ class Tracker:
             desc=np.asarray(f0.desc), ur=np.asarray(f0.ur),
             depth=np.asarray(f0.depth), kp_valid=np.asarray(f0.valid),
             lm_idx=lm0)
-        self.Rcw = R21
+        self.Rcw = normalize_rotation_np(R21)
         self.tcw = t21
         k1 = self._insert_keyframe(frame, lm1)
         self.last_kf_id = k1
@@ -409,7 +410,9 @@ class Tracker:
         self.odomok_frames = 0
         self._last_pred_external = None
         R_prev, t_prev = self.Rcw.copy(), self.tcw.copy()
-        self.Rcw = np.asarray(res.Rcw)
+        # Re-project onto SO(3): the velocity model amplifies any
+        # off-manifold residue geometrically (see normalize_rotation_np).
+        self.Rcw = normalize_rotation_np(np.asarray(res.Rcw))
         self.tcw = np.asarray(res.tcw)
         # velocity: Tcw_k ∘ Twc_{k-1}
         dR = self.Rcw @ R_prev.T

@@ -487,7 +487,12 @@ class MapState:
                 and np.isfinite(tcw[:n_free]).all()):
             return False
         free = kf_order[:n_free]
-        self.kf_Rcw[free] = Rcw[:n_free]
+        from ..math.lie import normalize_rotation_np
+
+        # BA iterates dR@R retractions in f32; re-project onto SO(3)
+        # before the poses become long-lived state (see
+        # normalize_rotation_np for the amplification mechanism).
+        self.kf_Rcw[free] = normalize_rotation_np(Rcw[:n_free])
         self.kf_tcw[free] = tcw[:n_free]
         pw_ok = np.isfinite(pw).all(axis=1)
         self.lm_pw[lm_ids[pw_ok]] = pw[pw_ok]

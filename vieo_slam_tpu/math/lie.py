@@ -182,6 +182,29 @@ def normalize_rotation(R: jax.Array) -> jax.Array:
     return (U * fix[..., None, :]) @ Vt
 
 
+def normalize_rotation_np(R):
+    """Host-side normalize_rotation for [..., 3, 3] numpy arrays.
+
+    MUST be applied wherever an optimized rotation is written back into
+    long-lived state (tracker pose, keyframe poses, NavStates).  The
+    constant-velocity prediction R_pred = R_k R_{k-1}^T R_k AMPLIFIES any
+    off-manifold deviation geometrically (ratio 1+sqrt(2) per frame);
+    un-normalized f32 retraction residue (~1e-7) reaches pixel scale
+    within ~15 frames and the resulting shear component fits reprojection
+    residuals better than any true rotation — the round-1/2 'weak
+    geometry drift' was exactly this.  (The reference normalizes in the
+    SO3ex constructor, common/so3_extra.h.)
+    """
+    import numpy as np
+
+    R = np.asarray(R)
+    U, _, Vt = np.linalg.svd(R.astype(np.float64))
+    det = np.linalg.det(U @ Vt)
+    fix = np.ones(R.shape[:-2] + (3,))
+    fix[..., 2] = det
+    return ((U * fix[..., None, :]) @ Vt).astype(R.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Quaternions (wxyz) — used for compact storage & trajectory IO.
 # ---------------------------------------------------------------------------

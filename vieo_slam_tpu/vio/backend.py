@@ -290,9 +290,13 @@ class VioBackend:
             jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
         Rcw, tcw = np.asarray(Rcw), np.asarray(tcw)
         free = kf_order[:n_free]
-        m.kf_Rcw[free] = Rcw[:n_free]
+        from ..math.lie import normalize_rotation_np
+
+        # re-project onto SO(3) at the write-back boundary (see
+        # lie.normalize_rotation_np for the amplification mechanism)
+        m.kf_Rcw[free] = normalize_rotation_np(Rcw[:n_free])
         m.kf_tcw[free] = tcw[:n_free]
-        m.kf_Rwb[free] = ns.R[:n_free]
+        m.kf_Rwb[free] = normalize_rotation_np(ns.R[:n_free])
         m.kf_pwb[free] = ns.p[:n_free]
         m.kf_vwb[free] = ns.v[:n_free]
         m.kf_bg[free] = (ns.bg + ns.dbg)[:n_free]

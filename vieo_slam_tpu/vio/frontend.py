@@ -45,6 +45,20 @@ def _fused_solve(ns_last, ns_cur0, pre, obs, cam, Rcb, tcb, bf,
         prior_info=prior_info, last_fixed=False,
         sigma_bg_rw=sigma_bg_rw, sigma_ba_rw=sigma_ba_rw,
         gravity=gravity)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma_bg_rw", "sigma_ba_rw"))
+def _fused_solve_enc(ns_last, ns_cur0, pre, obs, cam, Rcb, tcb, bf,
+                     prior_info, gravity, enc_pre, Rbe, tbe,
+                     sigma_bg_rw, sigma_ba_rw):
+    """Jitted VIEO joint solve: the VIO solve plus the wheel-encoder
+    SE(2) factor (EdgeEncNavState, src/Odom/g2otypes.h:590)."""
+    return vio_pose_optimization(
+        ns_last, ns_cur0, pre, obs, cam, Rcb, tcb, bf,
+        prior_info=prior_info, last_fixed=False,
+        enc_pre=enc_pre, Rbe=Rbe, tbe=tbe,
+        sigma_bg_rw=sigma_bg_rw, sigma_ba_rw=sigma_ba_rw,
+        gravity=gravity)
 from ..system import System
 from .initialization import try_init_vio
 
@@ -71,6 +85,10 @@ class VioConfig:
     use_encoder: bool = False
     enc_half_track: float = 0.28
     enc_sigma_v: float = 0.01
+    # body-from-encoder extrinsic Tbe (Camera.Tce / Encoder frame in the
+    # reference yaml); None = identity
+    enc_Rbe: object = None
+    enc_tbe: object = None
     # keyframe backend (PRV sliding-window local BA + init-GBA)
     use_backend: bool = True
     backend_window: int = 10
@@ -90,6 +108,12 @@ class VioFrontend:
             np.asarray(tcb, np.float32)
         self.ring = OdomRing(1 << 16)
         self.enc_ring = OdomRing(1 << 14) if self.cfg.use_encoder else None
+        self.Rbe = np.eye(3, dtype=np.float32) \
+            if self.cfg.enc_Rbe is None \
+            else np.asarray(self.cfg.enc_Rbe, np.float32)
+        self.tbe = np.zeros(3, np.float32) \
+            if self.cfg.enc_tbe is None \
+            else np.asarray(self.cfg.enc_tbe, np.float32)
         self.inited = False             # provisional: per-frame fusion on
         self.final_inited = False       # accepted: PRV backend engaged
         self.gw = np.array([0.0, 0.0, -9.81], np.float32)
@@ -100,6 +124,12 @@ class VioFrontend:
         self.last_t: Optional[float] = None
         self.kf_times: list[tuple[int, float]] = []   # (kf_id, timestamp)
         self.backend = None           # VioBackend, created at VI init
+        # post-relocalization bias-recompute collection
+        # (RecomputeIMUBiasAndCurrentNavstate, Tracking.cc:548-684):
+        # list of (t, Rcw, tcw) vision-only frames; fusion suspended
+        # while it fills.
+        self._reloc_frames: Optional[list] = None
+        self.reloc_recompute_n = 20
 
     # ------------------------------------------------------------------
 
@@ -137,6 +167,32 @@ class VioFrontend:
         p_j = ns.p + ns.v * dt + 0.5 * g * dt * dt + ns.R @ dp
         return ns._replace(R=R_j, v=v_j, p=p_j)
 
+    def _propagate_enc(self, ns: NavState, t0: float, t1: float):
+        """Encoder dead-reckoning of the body pose over [t0, t1]
+        (Tracking::GetVelocityByEnc :218 / TrackWithOnlyOdom :79 prefer
+        the encoder when present: wheel odometry doesn't double-integrate
+        accelerometer noise, so its short-horizon pose is far tighter
+        than IMU propagation on planar robots).
+
+        T_w_bj = T_w_bi · T_be · ΔT_e · T_be⁻¹.  Returns (R_j, p_j) numpy
+        or None if the window holds no samples."""
+        ev, edts, emask, n = self.enc_ring.window(
+            t0, t1, self.cfg.window_cap)
+        if n == 0:
+            return None
+        enc = preintegrate_encoder(
+            jnp.asarray(ev[:, 0]), jnp.asarray(ev[:, 1]),
+            jnp.asarray(edts), self.cfg.enc_half_track,
+            self.cfg.enc_sigma_v, mask=jnp.asarray(emask))
+        dR_e = np.asarray(enc.dR)
+        dp_e = np.asarray(enc.dp)
+        R_i = np.asarray(ns.R)
+        p_i = np.asarray(ns.p)
+        Rbe, tbe = self.Rbe, self.tbe
+        R_j = R_i @ Rbe @ dR_e @ Rbe.T
+        p_j = (p_i + R_i @ (tbe + Rbe @ dp_e) - R_j @ tbe)
+        return R_j.astype(np.float32), p_j.astype(np.float32)
+
     # ------------------------------------------------------------------
 
     def track_frame(self, frame):
@@ -146,6 +202,15 @@ class VioFrontend:
         if self.inited and self.last_t is not None:
             pre = self._preintegrate(self.last_t, t, self.cfg.window_cap)
             ns_pred = self._propagate(self.ns_last, pre)
+            if self.cfg.use_encoder and self.enc_ring is not None:
+                # Wheel odometry gives the tighter short-horizon pose
+                # (GetVelocityByEnc preference, Tracking.cc:218); keep
+                # the IMU-propagated velocity/biases.
+                enc_pose = self._propagate_enc(self.ns_last, self.last_t, t)
+                if enc_pose is not None:
+                    ns_pred = ns_pred._replace(
+                        R=jnp.asarray(enc_pose[0]),
+                        p=jnp.asarray(enc_pose[1]))
             Rcw, tcw = tcw_from_navstate(
                 ns_pred, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
             tr.external_prediction = (np.asarray(Rcw), np.asarray(tcw))
@@ -155,12 +220,41 @@ class VioFrontend:
         if state.name == "ODOMOK" and pre is not None:
             # Visual dropout bridged by dead-reckoning: carry the
             # propagated NavState forward (TrackWithOnlyOdom keeps the
-            # IMU state alive through the outage, Tracking.cc:79-155).
-            self.ns_last = self._propagate(self.ns_last, pre)
+            # IMU state alive through the outage, Tracking.cc:79-155;
+            # with an encoder the pose comes from wheel odometry).
+            self.ns_last = ns_pred
             self.last_t = t
             return state
 
+        if getattr(tr, "just_relocalized", False):
+            tr.just_relocalized = False
+            if self.inited:
+                # Kidnapped: the stale NavState/prior are wrong in the
+                # relocalized frame — track vision-only for N frames,
+                # then recompute bg/ba/velocity (Tracking.cc:548-684).
+                self._reloc_frames = []
+                self.prior_info = None
+
         if state.name in ("OK",):
+            if self._reloc_frames is not None:
+                self._reloc_frames.append(
+                    (t, tr.Rcw.copy(), tr.tcw.copy()))
+                # keep a vision-anchored NavState so ODOMOK/predict work
+                self.ns_last = navstate_from_tcw(
+                    jnp.asarray(tr.Rcw), jnp.asarray(tr.tcw),
+                    jnp.asarray(self.Rcb),
+                    jnp.asarray(self.tcb))._replace(
+                    v=jnp.zeros(3), bg=jnp.asarray(self.bg),
+                    ba=jnp.asarray(self.ba))
+                if tr.last_new_kf is not None:
+                    # mapping continues during the collection window;
+                    # KFs take the vision-anchored NavState
+                    self.kf_times.append((tr.last_new_kf, t))
+                    self._store_kf_navstate(tr.last_new_kf)
+                if len(self._reloc_frames) >= self.reloc_recompute_n:
+                    self._recompute_bias_after_reloc()
+                self.last_t = t
+                return state
             if self.inited and pre is not None:
                 self._fuse(frame, pre)
             else:
@@ -190,6 +284,59 @@ class VioFrontend:
                         self._rebase_from_kf(tr.last_new_kf)
         self.last_t = t
         return state
+
+    def _recompute_bias_after_reloc(self):
+        """RecomputeIMUBiasAndCurrentNavstate (Tracking.cc:548-684): gyro
+        bias GN + linear ba/velocity solve over the collected post-reloc
+        frames, gravity kept from the original initialization; on success
+        the fused tracking resumes from the recomputed NavState."""
+        from .initialization import recompute_bias_navstate
+
+        frames = self._reloc_frames
+        self._reloc_frames = None
+        ts = np.asarray([f[0] for f in frames], np.float64)
+        Rcw = np.stack([f[1] for f in frames])
+        tcw = np.stack([f[2] for f in frames])
+        R_wc = np.swapaxes(Rcw, -1, -2)
+        p_wc = -np.einsum("kij,kj->ki", R_wc, tcw)
+        N = len(frames)
+        T = self.cfg.window_cap
+        gyro_w = np.zeros((N - 1, T, 3), np.float32)
+        acc_w = np.zeros((N - 1, T, 3), np.float32)
+        dt_w = np.zeros((N - 1, T), np.float32)
+        mask_w = np.zeros((N - 1, T), bool)
+        for i in range(N - 1):
+            vals, dts, mask, n = self.ring.window(ts[i], ts[i + 1], T)
+            if n > T:
+                return      # cannot recompute; stay vision-anchored
+            gyro_w[i] = vals[:, :3]
+            acc_w[i] = vals[:, 3:]
+            dt_w[i] = dts
+            mask_w[i] = mask
+        out = recompute_bias_navstate(
+            jnp.asarray(ts.astype(np.float32)), jnp.asarray(R_wc),
+            jnp.asarray(p_wc.astype(np.float32)),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
+            jnp.asarray(gyro_w), jnp.asarray(acc_w), jnp.asarray(dt_w),
+            jnp.asarray(mask_w), self.gw, self.cfg.sigma_g,
+            self.cfg.sigma_a)
+        bg = np.asarray(out.bg, np.float32)
+        ba = np.asarray(out.ba, np.float32)
+        v = np.asarray(out.v, np.float32)
+        if not (np.isfinite(bg).all() and np.isfinite(ba).all()
+                and np.isfinite(v).all()) or np.linalg.norm(bg) > 0.5 \
+                or np.linalg.norm(ba) > 3.0:
+            return
+        self.bg, self.ba = bg, ba
+        Rbc = self.Rcb.T
+        pcb = -Rbc @ self.tcb
+        self.ns_last = NavState(
+            R=jnp.asarray(R_wc[-1] @ self.Rcb),
+            p=jnp.asarray((p_wc[-1] + R_wc[-1] @ pcb).astype(np.float32)),
+            v=jnp.asarray(v[-1]),
+            bg=jnp.asarray(bg), ba=jnp.asarray(ba),
+            dbg=jnp.zeros(3), dba=jnp.zeros(3))
+        self.prior_info = self._fresh_prior()
 
     def _rebase_from_kf(self, k: int):
         """Continue tracking from the backend-optimized keyframe state:
@@ -250,7 +397,6 @@ class VioFrontend:
             bg=self.ns_last.bg, ba=self.ns_last.ba,
             dbg=self.ns_last.dbg, dba=self.ns_last.dba)
         enc_pre = None
-        Rbe = tbe = None
         if self.cfg.use_encoder and self.enc_ring is not None \
                 and self.last_t is not None:
             ev, edts, emask, _ = self.enc_ring.window(
@@ -259,21 +405,17 @@ class VioFrontend:
                 jnp.asarray(ev[:, 0]), jnp.asarray(ev[:, 1]),
                 jnp.asarray(edts), self.cfg.enc_half_track,
                 self.cfg.enc_sigma_v, mask=jnp.asarray(emask))
-            Rbe = jnp.eye(3)
-            tbe = jnp.zeros(3)
         prior = self.prior_info if self.prior_info is not None \
             else 1e-6 * np.eye(15, dtype=np.float32)
         if enc_pre is not None:
-            # Encoder path (VEO/VIEO): eager call (compiled on first use
-            # per shape via its own jit in future work).
-            out = vio_pose_optimization(
+            # Encoder path (VEO/VIEO): jitted like the IMU-only path.
+            out = _fused_solve_enc(
                 self.ns_last, ns_cur0, pre, obs, self.sys.cam,
-                jnp.asarray(self.Rcb), jnp.asarray(self.tcb), self.sys.bf,
-                prior_info=jnp.asarray(prior), last_fixed=False,
-                enc_pre=enc_pre, Rbe=Rbe, tbe=tbe,
-                sigma_bg_rw=self.cfg.sigma_bg_rw,
-                sigma_ba_rw=self.cfg.sigma_ba_rw,
-                gravity=jnp.asarray(self.gw),
+                jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
+                jnp.asarray(self.sys.bf, jnp.float32),
+                jnp.asarray(prior), jnp.asarray(self.gw),
+                enc_pre, jnp.asarray(self.Rbe), jnp.asarray(self.tbe),
+                self.cfg.sigma_bg_rw, self.cfg.sigma_ba_rw,
             )
         else:
             out = _fused_solve(
@@ -293,12 +435,19 @@ class VioFrontend:
         if bg_n > 0.5 or ba_n > 3.0:
             return
         # Write the fused pose back into the tracker (and its velocity
-        # model continues from it).
+        # model continues from it).  Rotations are re-projected onto
+        # SO(3) at this boundary — per-frame retraction products
+        # otherwise compound off-manifold geometrically (see
+        # lie.normalize_rotation_np).
+        from ..math.lie import normalize_rotation_np
+
+        ns = out.ns._replace(
+            R=jnp.asarray(normalize_rotation_np(np.asarray(out.ns.R))))
         Rcw, tcw = tcw_from_navstate(
-            out.ns, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
-        tr.Rcw = np.asarray(Rcw, np.float32)
+            ns, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+        tr.Rcw = normalize_rotation_np(np.asarray(Rcw, np.float32))
         tr.tcw = np.asarray(tcw, np.float32)
-        self.ns_last = out.ns
+        self.ns_last = ns
         self.prior_info = np.asarray(out.prior_info)
 
     # ------------------------------------------------------------------
@@ -422,7 +571,7 @@ class VioFrontend:
                                  sigma_g=cfg.sigma_g, sigma_a=cfg.sigma_a,
                                  sigma_bg_rw=cfg.sigma_bg_rw,
                                  sigma_ba_rw=cfg.sigma_ba_rw),
-            enc_ring=self.enc_ring,
+            enc_ring=self.enc_ring, Rbe=self.Rbe, tbe=self.tbe,
             enc_half_track=cfg.enc_half_track,
             enc_sigma_v=cfg.enc_sigma_v)
         self.backend.gravity = self.gw.copy()
