@@ -221,3 +221,33 @@ class TestVocabulary:
             covisible_of=lambda k: np.asarray([], int),
         )
         assert len(cands) and cands[0] == 2
+
+
+class TestDbowTextInterop:
+    def test_roundtrip_and_transform_equivalence(self, tmp_path):
+        """save_dbow_text -> load_dbow_text reproduces the vocabulary
+        exactly (DBoW2 TemplatedVocabulary text format,
+        TemplatedVocabulary.h:1196/:1339) and transform() output is
+        identical."""
+        from vieo_slam_tpu.loop.vocabulary import (load_dbow_text,
+                                                   save_dbow_text,
+                                                   train_vocabulary,
+                                                   transform)
+
+        rng = np.random.RandomState(0)
+        desc = rng.randint(0, 2 ** 32, (400, 8),
+                           dtype=np.uint64).astype(np.uint32)
+        voc = train_vocabulary(desc, k=4, L=3, seed=1)
+        p = str(tmp_path / "voc.txt")
+        save_dbow_text(voc, p)
+        voc2 = load_dbow_text(p)
+        assert voc2.k == voc.k and voc2.L == voc.L
+        np.testing.assert_array_equal(voc2.node_desc, voc.node_desc)
+        np.testing.assert_allclose(voc2.idf, voc.idf, rtol=1e-5)
+        q = rng.randint(0, 2 ** 32, (32, 8),
+                        dtype=np.uint64).astype(np.uint32)
+        bow1, w1 = transform(voc, jnp.asarray(q), jnp.ones(32, bool))
+        bow2, w2 = transform(voc2, jnp.asarray(q), jnp.ones(32, bool))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_allclose(np.asarray(bow1), np.asarray(bow2),
+                                   atol=1e-6)

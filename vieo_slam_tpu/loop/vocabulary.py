@@ -145,3 +145,98 @@ def score_l1(bow_q: jax.Array, bows: jax.Array) -> jax.Array:
 
     bow_q [W], bows [K, W] -> [K]."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(bow_q[None, :] - bows), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# DBoW2/ORBvoc text-format interop (TemplatedVocabulary.h:1196
+# loadFromTextFile / :1339 saveToTextFile): header "k L scoring weighting",
+# then one line per non-root node, ids implied by file order (root = 0):
+#   parent_id is_leaf d0 .. d31 weight
+# ---------------------------------------------------------------------------
+
+
+def save_dbow_text(voc: Vocabulary, path: str):
+    """Write the vocabulary in DBoW2's text format (nodes level-major, so
+    parents always precede children; weights stored on leaves)."""
+    k, L = voc.k, voc.L
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")
+        # file node ids: root 0, then our level-major order shifted by 1.
+        for lv in range(1, L + 1):
+            start, end = voc.level_slice(lv)
+            pstart = voc.level_slice(lv - 1)[0] if lv > 1 else None
+            for i in range(start, end):
+                within = i - start
+                if lv == 1:
+                    pid = 0
+                else:
+                    pid = pstart + within // k + 1   # +1: root shift
+                is_leaf = int(lv == L)
+                dbytes = voc.node_desc[i].view(np.uint8)
+                dstr = " ".join(str(int(b)) for b in dbytes)
+                w = float(voc.idf[i - start]) if is_leaf else 0.0
+                f.write(f"{pid} {is_leaf} {dstr} {w}\n")
+
+
+def load_dbow_text(path: str) -> Vocabulary:
+    """Load a DBoW2/ORBvoc text vocabulary into the dense level-major
+    layout `transform` descends.
+
+    Incomplete branches (internal nodes with fewer than k children —
+    ORBvoc has a few) are padded by duplicating the parent descriptor
+    with weight 0; descent through a padded child terminates in a
+    zero-weight word, matching DBoW2's behavior of never visiting
+    non-existent children."""
+    with open(path) as f:
+        head = f.readline().split()
+        k, L = int(head[0]), int(head[1])
+        parents, weights = [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2 + 32 + 1:
+                continue
+            parents.append(int(parts[0]))
+            weights.append(float(parts[-1]))
+    raw = np.loadtxt(path, skiprows=1,
+                     usecols=range(2, 34), dtype=np.uint8, ndmin=2)
+    desc_all = np.ascontiguousarray(raw).view(np.uint32)  # [n, 8]
+    parents = np.asarray(parents, np.int64)
+    weights = np.asarray(weights, np.float32)
+
+    n = len(parents)
+    children: dict[int, list[int]] = {}
+    for i in range(n):
+        children.setdefault(int(parents[i]), []).append(i + 1)  # ids 1..n
+
+    n_nodes = k * (k ** L - 1) // (k - 1)
+    node_desc = np.zeros((n_nodes, 8), np.uint32)
+    idf = np.zeros(k ** L, np.float32)
+
+    def place(file_id: int, level: int, pos: int):
+        """Recursively place file node at (level, pos) of the dense tree."""
+        start = k * (k ** (level - 1) - 1) // (k - 1)
+        node_desc[start + pos] = desc_all[file_id - 1]
+        if level == L:
+            idf[pos] = weights[file_id - 1]
+            return
+        kids = children.get(file_id, [])
+        for c, kid in enumerate(kids[:k]):
+            place(kid, level + 1, pos * k + c)
+        for c in range(len(kids), k):      # pad missing children
+            _pad(level + 1, pos * k + c, desc_all[file_id - 1])
+
+    def _pad(level: int, pos: int, d):
+        start = k * (k ** (level - 1) - 1) // (k - 1)
+        node_desc[start + pos] = d
+        if level == L:
+            idf[pos] = 0.0
+            return
+        for c in range(k):
+            _pad(level + 1, pos * k + c, d)
+
+    roots = children.get(0, [])
+    for c, kid in enumerate(roots[:k]):
+        place(kid, 1, c)
+    for c in range(len(roots), k):
+        _pad(1, c, np.zeros(8, np.uint32))
+    return Vocabulary(k=k, L=L, node_desc=node_desc, idf=idf)
