@@ -14,7 +14,10 @@ from vieo_slam_tpu.solvers.pose_graph import (
     PoseGraphProblem, correct_landmarks, make_edge_measurements,
     optimize_pose_graph,
 )
-from vieo_slam_tpu.solvers.sim3_solver import horn_alignment, sim3_ransac
+from vieo_slam_tpu.cameras import models as cm
+from vieo_slam_tpu.solvers.sim3_solver import (
+    horn_alignment, optimize_sim3, sim3_ransac,
+)
 
 
 class TestHorn:
@@ -251,3 +254,66 @@ class TestDbowTextInterop:
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
         np.testing.assert_allclose(np.asarray(bow1), np.asarray(bow2),
                                    atol=1e-6)
+
+
+class TestOptimizeSim3:
+    """Reprojection-based Sim3 refinement (Optimizer::OptimizeSim3,
+    src/Optimizer.cc:2689-2920)."""
+
+    def _problem(self, s_true=1.0, n=128, n_out=20, seed=4):
+        rng = np.random.RandomState(seed)
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        R_true, t_true = lie.se3_exp(jnp.asarray(
+            [0.05, -0.02, 0.08, 0.3, -0.2, 0.1], jnp.float32))
+        R_true, t_true = np.asarray(R_true), np.asarray(t_true)
+        p_k = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(2.0, 8.0, n)], -1).astype(np.float32)
+        p_c = (s_true * p_k @ R_true.T + t_true).astype(np.float32)
+        uv_k = np.array(cm.project(cam, jnp.asarray(p_k)))
+        uv_c = np.array(cm.project(cam, jnp.asarray(p_c)))
+        uv_k += rng.randn(n, 2) * 0.3
+        uv_c += rng.randn(n, 2) * 0.3
+        # outliers: wrong associations
+        uv_c[:n_out] += rng.randn(n_out, 2) * 60 + 20
+        # seed estimate: perturbed truth (the RANSAC output role)
+        dR, dt = lie.se3_exp(jnp.asarray(
+            [0.02, 0.01, -0.015, 0.05, -0.04, 0.06], jnp.float32))
+        R0 = np.asarray(dR) @ R_true
+        t0 = np.asarray(dR) @ t_true * s_true + np.asarray(dt)
+        return cam, (R_true, t_true), p_k, p_c, uv_k, uv_c, (R0, t0), n_out
+
+    def test_refines_to_truth_fixed_scale(self):
+        cam, (R_t, t_t), p_k, p_c, uv_k, uv_c, (R0, t0), n_out = \
+            self._problem()
+        n = len(p_k)
+        ones = jnp.ones(n, jnp.float32)
+        out = optimize_sim3(
+            jnp.asarray(R0.astype(np.float32)),
+            jnp.asarray(t0.astype(np.float32)), jnp.asarray(1.0),
+            jnp.asarray(p_k), jnp.asarray(p_c), jnp.asarray(uv_k),
+            jnp.asarray(uv_c), ones, ones, jnp.ones(n, bool), cam,
+            fix_scale=True)
+        assert float(out.s) == 1.0
+        assert int(out.n_inliers) >= n - n_out - 8
+        inl = np.asarray(out.inliers)
+        assert inl[:n_out].mean() < 0.15          # outliers gated
+        ang = np.degrees(np.linalg.norm(np.asarray(
+            lie.so3_log(jnp.asarray(np.asarray(out.R) @ R_t.T)))))
+        assert ang < 0.2, ang
+        assert np.linalg.norm(np.asarray(out.t) - t_t) < 0.02
+
+    def test_refines_scale(self):
+        cam, (R_t, t_t), p_k, p_c, uv_k, uv_c, (R0, t0), n_out = \
+            self._problem(s_true=1.25)
+        n = len(p_k)
+        ones = jnp.ones(n, jnp.float32)
+        out = optimize_sim3(
+            jnp.asarray(R0.astype(np.float32)),
+            jnp.asarray(t0.astype(np.float32)), jnp.asarray(1.1),
+            jnp.asarray(p_k), jnp.asarray(p_c), jnp.asarray(uv_k),
+            jnp.asarray(uv_c), ones, ones, jnp.ones(n, bool), cam,
+            fix_scale=False)
+        np.testing.assert_allclose(float(out.s), 1.25, rtol=0.02)
+        ang = np.degrees(np.linalg.norm(np.asarray(
+            lie.so3_log(jnp.asarray(np.asarray(out.R) @ R_t.T)))))
+        assert ang < 0.3, ang

@@ -29,7 +29,7 @@ from ..ops import matching
 from ..solvers.pose_graph import (
     PoseGraphProblem, correct_landmarks, optimize_pose_graph,
 )
-from ..solvers.sim3_solver import sim3_ransac
+from ..solvers.sim3_solver import optimize_sim3, sim3_ransac
 
 
 @dataclasses.dataclass
@@ -188,6 +188,52 @@ class LoopCloser:
         p_c = m.lm_pw[lm_c] @ m.kf_Rcw[c].T + m.kf_tcw[c]   # in c frame
         return p_k.astype(np.float32), p_c.astype(np.float32), lm_k, lm_c
 
+    def _search_by_sim3(self, k: int, c: int, S_ck):
+        """ORBmatcher::SearchBySim3 (src/ORBmatcher.cc, used by
+        LoopClosing::ComputeSim3 after the RANSAC seed): project each
+        KF's landmarks through the Sim3 estimate into the OTHER image and
+        window-match against its landmark-carrying keypoints; keep pairs
+        that agree in both directions.  Returns (lm_k, lm_c, kp_k, kp_c)
+        index arrays of the newly-supported pairs."""
+        m = self.map
+        R_ck, t_ck, s_ck = S_ck
+        Ri, ti, si = lie.sim3_inverse(jnp.asarray(R_ck), jnp.asarray(t_ck),
+                                      jnp.asarray(s_ck))
+        R_kc, t_kc, s_kc = np.asarray(Ri), np.asarray(ti), float(si)
+
+        def project_side(src, dst, R, t, s):
+            """Project src-KF landmarks into dst-KF's image, match."""
+            lm = m.kf_lm_idx[src]
+            has = m.kf_kp_valid[src] & (lm >= 0)
+            has = has & m.lm_valid[np.clip(lm, 0, None)]
+            p_src = (m.lm_pw[np.clip(lm, 0, None)] @ m.kf_Rcw[src].T
+                     + m.kf_tcw[src])
+            p_dst = float(s) * (p_src @ np.asarray(R).T) + np.asarray(t)
+            uv = np.asarray(cm.project(self.cam, jnp.asarray(
+                p_dst.astype(np.float32))))
+            idx, _ = matching.search_by_projection(
+                jnp.asarray(uv.astype(np.float32)),
+                jnp.asarray(m.kf_level[src]),
+                jnp.asarray(m.kf_desc[src]),
+                jnp.asarray(has & (p_dst[:, 2] > 0.05)),
+                jnp.asarray(m.kf_uv[dst]), jnp.asarray(m.kf_level[dst]),
+                jnp.asarray(m.kf_desc[dst]),
+                jnp.asarray(m.kf_kp_valid[dst] & (m.kf_lm_idx[dst] >= 0)),
+                radius=10.0, level_scales=self.map.level_scales,
+                max_dist=60, ratio=1.0, level_tolerance=8)
+            return np.asarray(idx)
+
+        idx_kc = project_side(k, c, R_ck, t_ck, s_ck)   # kp_k -> kp_c
+        idx_ck = project_side(c, k, R_kc, t_kc, s_kc)   # kp_c -> kp_k
+        rows_k = np.nonzero(idx_kc >= 0)[0]
+        # mutual agreement (the reference keeps two-directional finds)
+        mutual = idx_ck[idx_kc[rows_k]] == rows_k
+        rows_k = rows_k[mutual]
+        rows_c = idx_kc[rows_k]
+        lm_k = m.kf_lm_idx[k, rows_k]
+        lm_c = m.kf_lm_idx[c, rows_c]
+        return lm_k, lm_c, rows_k, rows_c
+
     def _try_close(self, k: int, c: int) -> bool:
         pairs = self._matched_landmark_pairs(k, c)
         if pairs is None:
@@ -209,16 +255,89 @@ class LoopCloser:
             return False
         # S_ck: maps k-frame points onto c-frame points.
         S_ck = (np.asarray(res.R), np.asarray(res.t), float(res.s))
+        # ComputeSim3's second half (LoopClosing.cc:308): widen the match
+        # set by projecting through the RANSAC seed (SearchBySim3), then
+        # refine S_ck on two-sided reprojection (OptimizeSim3); the
+        # refined inlier count is the acceptance gate.
+        m = self.map
+        inl0 = np.asarray(res.inliers)[:n]
+        pair_k = lm_k[:n][inl0]
+        pair_c = lm_c[:n][inl0]
+        xk, xc, _, _ = self._search_by_sim3(k, c, S_ck)
+        pair_k = np.concatenate([pair_k, xk])
+        pair_c = np.concatenate([pair_c, xc])
+        # de-duplicate pairs
+        key = pair_k.astype(np.int64) * (1 << 32) + pair_c
+        _, uniq = np.unique(key, return_index=True)
+        pair_k, pair_c = pair_k[uniq], pair_c[uniq]
+        ok = m.lm_valid[pair_k] & m.lm_valid[pair_c]
+        pair_k, pair_c = pair_k[ok], pair_c[ok]
+        refined = self._refine_sim3(k, c, S_ck, pair_k, pair_c)
+        if refined is None:
+            return False
+        S_ck, inl_pairs = refined
         self._correct_loop(k, c, S_ck)
         self.last_loop_kf = k
         self.n_loops_closed += 1
         # fuse the matched duplicates (SearchAndFuse essentials).
-        m = self.map
-        inl = np.asarray(res.inliers)[:n]
-        for a, b in zip(lm_k[:n][inl], lm_c[:n][inl]):
+        for a, b in zip(*inl_pairs):
             if a != b and m.lm_valid[a] and m.lm_valid[b]:
                 m.replace_landmark(int(a), int(b))
         return True
+
+    def _refine_sim3(self, k: int, c: int, S_ck, pair_k, pair_c):
+        """OptimizeSim3 wrapper: build padded per-pair observation arrays
+        (positions in each camera frame + the observing keypoint pixels)
+        and run the jitted two-sided reprojection refinement."""
+        m = self.map
+        if len(pair_k) < 3:
+            return None
+        # observing keypoint of each landmark in its own KF
+        kp_k = self._kp_of_landmarks(k, pair_k)
+        kp_c = self._kp_of_landmarks(c, pair_c)
+        ok = (kp_k >= 0) & (kp_c >= 0)
+        pair_k, pair_c = pair_k[ok], pair_c[ok]
+        kp_k, kp_c = kp_k[ok], kp_c[ok]
+        if len(pair_k) < 3:
+            return None
+        cap = 512
+        nn = min(len(pair_k), cap)
+        pk = np.zeros((cap, 3), np.float32)
+        pc = np.zeros((cap, 3), np.float32)
+        uk = np.zeros((cap, 2), np.float32)
+        uc = np.zeros((cap, 2), np.float32)
+        isk = np.ones(cap, np.float32)
+        isc = np.ones(cap, np.float32)
+        vv = np.zeros(cap, bool)
+        pk[:nn] = (m.lm_pw[pair_k[:nn]] @ m.kf_Rcw[k].T + m.kf_tcw[k])
+        pc[:nn] = (m.lm_pw[pair_c[:nn]] @ m.kf_Rcw[c].T + m.kf_tcw[c])
+        uk[:nn] = m.kf_uv[k, kp_k[:nn]]
+        uc[:nn] = m.kf_uv[c, kp_c[:nn]]
+        isk[:nn] = m.inv_sigma2[m.kf_level[k, kp_k[:nn]]]
+        isc[:nn] = m.inv_sigma2[m.kf_level[c, kp_c[:nn]]]
+        vv[:nn] = True
+        R0, t0, s0 = S_ck
+        out = optimize_sim3(
+            jnp.asarray(R0.astype(np.float32)),
+            jnp.asarray(t0.astype(np.float32)), jnp.asarray(s0),
+            jnp.asarray(pk), jnp.asarray(pc), jnp.asarray(uk),
+            jnp.asarray(uc), jnp.asarray(isk), jnp.asarray(isc),
+            jnp.asarray(vv), self.cam,
+            fix_scale=self.cfg.fix_scale)
+        if int(out.n_inliers) < self.cfg.min_sim3_inliers:
+            return None
+        inl = np.asarray(out.inliers)[:nn]
+        S = (np.asarray(out.R), np.asarray(out.t), float(out.s))
+        return S, (pair_k[:nn][inl], pair_c[:nn][inl])
+
+    def _kp_of_landmarks(self, kf: int, lm_ids: np.ndarray) -> np.ndarray:
+        """Keypoint index of each landmark id in KF kf (-1 if unseen)."""
+        m = self.map
+        inv = np.full(int(m.lm_pw.shape[0]), -1, np.int64)
+        lm = m.kf_lm_idx[kf]
+        rows = np.nonzero(m.kf_kp_valid[kf] & (lm >= 0))[0]
+        inv[lm[rows]] = rows
+        return inv[lm_ids]
 
     # ------------------------------------------------------------------
 
@@ -249,15 +368,18 @@ class LoopCloser:
         # temporal chain edges
         for a, b in zip(kfs[:-1], kfs[1:]):
             add_edge(local[int(a)], local[int(b)])
-        # covisibility edges
+        # covisibility edges, weighted by shared-landmark count (the
+        # reference keeps all >=100-shared edges in the essential graph;
+        # uniform weights under-constrain the mid-trajectory, which
+        # showed as ~0.3 m residual drift on loop tests)
         for kf in kfs:
             neigh, wts = m.covisible_keyframes(int(kf),
                                                min_shared=cfg.covis_edge_min)
-            for nb in neigh[:5]:
+            for nb, ws in list(zip(neigh, wts))[:8]:
                 i, j = local[int(kf)], local.get(int(nb))
                 if j is None or i >= j:
                     continue
-                add_edge(i, j)
+                add_edge(i, j, w=min(float(ws) / cfg.covis_edge_min, 4.0))
         # previous loop edges
         for (a, b, Rm, tm) in self.loop_edges:
             if int(a) in local and int(b) in local:

@@ -321,3 +321,65 @@ def make_imu_samples(t_frames, Rwb, v_w, a_w, rate_hz=200.0,
     acc = a_b + ba + rng.randn(*a_b.shape) * noise_a
     return ts.astype(np.float64), gyro.astype(np.float32), \
         acc.astype(np.float32)
+
+
+def make_encoder_samples(t_frames, Rwb, p_wb, Rbe, tbe, rate_hz=100.0,
+                         half_track=0.28, noise_v=0.0, seed=0):
+    """Differential-drive wheel-speed stream consistent with the
+    trajectory (the VEO/VIEO input; System::TrackOdom ENCODER mode).
+
+    The encoder frame E (x forward, y left, z up) rides rigidly on the
+    body: T_we(t) = T_wb(t) T_be.  Per sample interval the exact SE(3)
+    delta of E is projected to SE(2) (yaw + in-plane translation) and
+    inverted through the preintegrator's midpoint model
+    (math/preintegration.preintegrate_encoder):
+        dtheta = w dt,  dp = v dt [cos(theta+w dt/2), sin(theta+w dt/2)]
+    so that preintegrating the returned wheel speeds reproduces the true
+    planar motion to machine precision on planar trajectories.
+
+    Returns (ts [T], v_left [T], v_right [T]).
+    """
+    import jax.numpy as jnp
+
+    from ..math import lie
+
+    rng = np.random.RandomState(seed)
+    t_frames = np.asarray(t_frames, np.float64)
+    ts = np.arange(t_frames[0], t_frames[-1], 1.0 / rate_hz)
+    # sample endpoints (one extra for the last interval)
+    te = np.concatenate([ts, [min(ts[-1] + 1.0 / rate_hz, t_frames[-1])]])
+
+    # slerp body attitude + lerp position at the endpoints
+    i1 = np.clip(np.searchsorted(t_frames, te, side="right"), 1,
+                 len(t_frames) - 1)
+    i0 = i1 - 1
+    denom = np.maximum(t_frames[i1] - t_frames[i0], 1e-9)
+    frac = np.clip((te - t_frames[i0]) / denom, 0.0, 1.0)
+    R0, R1 = Rwb[i0], Rwb[i1]
+    dphi = np.asarray(lie.so3_log(
+        jnp.asarray(np.einsum("tji,tjk->tik", R0, R1))))
+    dRot = np.asarray(lie.so3_exp(jnp.asarray(dphi * frac[:, None])))
+    Rb = np.einsum("tij,tjk->tik", R0, dRot)
+    pb = p_wb[i0] + (p_wb[i1] - p_wb[i0]) * frac[:, None]
+
+    Rbe = np.asarray(Rbe, np.float64)
+    tbe = np.asarray(tbe, np.float64)
+    R_we = Rb @ Rbe
+    p_we = pb + np.einsum("tij,j->ti", Rb, tbe)
+
+    # exact E-frame deltas per interval
+    dR_e = np.einsum("tji,tjk->tik", R_we[:-1], R_we[1:])
+    dp_e = np.einsum("tji,tj->ti", R_we[:-1], p_we[1:] - p_we[:-1])
+    ang = np.asarray(lie.so3_log(jnp.asarray(dR_e)))
+    dt = np.diff(te)
+    dt = np.maximum(dt, 1e-9)
+    w = ang[:, 2] / dt
+    # invert the midpoint translation model (project onto the midpoint
+    # heading; theta starts at 0 each interval)
+    c = np.cos(0.5 * ang[:, 2])
+    s = np.sin(0.5 * ang[:, 2])
+    v = (dp_e[:, 0] * c + dp_e[:, 1] * s) / dt
+    v_left = v - w * half_track + rng.randn(len(v)) * noise_v
+    v_right = v + w * half_track + rng.randn(len(v)) * noise_v
+    return ts.astype(np.float64), v_left.astype(np.float32), \
+        v_right.astype(np.float32)
