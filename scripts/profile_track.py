@@ -77,49 +77,54 @@ def main():
     rtt = measure_rtt()
     print(f"rtt_ms {rtt*1e3:.2f}")
 
-    # full kernel at various schedules
-    for sched in [(3, 6, 2, 4), (2, 4, 1, 3), (1, 4, 1, 3), (2, 3, 1, 2)]:
-        k = jax.jit(lambda R, t, s=sched: _track_kernel(
+    # full kernel at various schedules and modes
+    for mode, sched in [("lm", (3, 6, 2, 4)), ("plm", (2, 2, 1, 2)),
+                        ("plm", (2, 3, 1, 2)), ("gn", (2, 3, 1, 2))]:
+        k = jax.jit(lambda R, t, s=sched, md=mode: _track_kernel(
             R, t, lm_pw, lm_desc, lm_level, lm_valid, frame,
             jnp.asarray(inv_sigma2), jnp.asarray(scales),
             jnp.asarray(15.0, jnp.float32), jnp.asarray(6.0, jnp.float32),
-            jnp.asarray(bf, jnp.float32), cam, schedule=s))
+            jnp.asarray(bf, jnp.float32), cam, schedule=s, opt_mode=md))
         ms = timeit(lambda c: (lambda r: (r.Rcw, r.tcw))(k(*c)),
                     (R0, t0v), rtt)
-        print(f"track{sched} {ms:.3f} ms")
+        print(f"track[{mode}]{sched} {ms:.3f} ms", flush=True)
 
-    # association only (one search_by_projection)
-    @jax.jit
-    def assoc(R, t):
-        pc = jnp.einsum("ij,nj->ni", R, lm_pw) + t
-        uvp = cm.project(cam, pc)
-        vis = lm_valid & (pc[:, 2] > 0.1) & cm.in_image(cam, uvp, 1.0)
-        idx, dist = matching.search_by_projection(
-            uvp, lm_level, lm_desc, vis,
-            frame.uv, frame.level, frame.desc, frame.valid,
-            radius=jnp.asarray(15.0, jnp.float32),
-            level_scales=jnp.asarray(scales),
-            max_dist=75, ratio=0.8, level_tolerance=8)
-        # fold into a pose-like carry to chain
-        d = jnp.sum(jnp.where(idx >= 0, dist, 0)).astype(jnp.float32)
-        return R + 1e-20 * d, t
+    # association only (one search_by_projection) at two slab sizes
+    for slab in [SLAB, 2048]:
+        pw_s, desc_s = lm_pw[:slab], lm_desc[:slab]
+        lvl_s, val_s = lm_level[:slab], lm_valid[:slab]
 
-    ms = timeit(lambda c: assoc(*c), (R0, t0v), rtt)
-    print(f"assoc_once {ms:.3f} ms")
+        @jax.jit
+        def assoc(R, t, pw_s=pw_s, desc_s=desc_s, lvl_s=lvl_s,
+                  val_s=val_s):
+            pc = jnp.einsum("ij,nj->ni", R, pw_s) + t
+            uvp = cm.project(cam, pc)
+            vis = val_s & (pc[:, 2] > 0.1) & cm.in_image(cam, uvp, 1.0)
+            idx, dist = matching.search_by_projection(
+                uvp, lvl_s, desc_s, vis,
+                frame.uv, frame.level, frame.desc, frame.valid,
+                radius=jnp.asarray(15.0, jnp.float32),
+                level_scales=jnp.asarray(scales),
+                max_dist=75, ratio=0.8, level_tolerance=8)
+            # fold into a pose-like carry to chain
+            d = jnp.sum(jnp.where(idx >= 0, dist, 0)).astype(jnp.float32)
+            return R + 1e-20 * d, t
+
+        ms = timeit(lambda c: assoc(*c), (R0, t0v), rtt)
+        print(f"assoc_once[slab={slab}] {ms:.3f} ms", flush=True)
 
     # pose optimization only, various (rounds, iters), lm vs gn
     kp = jnp.arange(SLAB) % NKP
     obs = PoseObs(pw=lm_pw, uv=frame.uv[kp], ur=frame.ur[kp],
                   inv_sigma2=jnp.ones(SLAB, jnp.float32),
                   valid=jnp.ones(SLAB, bool))
-    for mode in ["lm", "gn"]:
-        for (r, i) in [(3, 6), (2, 4), (1, 4)]:
-            po = jax.jit(lambda R, t, r=r, i=i, mode=mode: pose_optimization(
-                R, t, obs, cam, jnp.asarray(bf, jnp.float32),
-                rounds=r, iters_per_round=i, mode=mode))
-            ms = timeit(lambda c: (lambda res: (res.Rcw, res.tcw))(po(*c)),
-                        (R0, t0v), rtt)
-            print(f"pose_opt[{mode}]({r}x{i}) {ms:.3f} ms")
+    for mode, (r, i) in [("lm", (3, 6)), ("plm", (2, 2)), ("gn", (2, 3))]:
+        po = jax.jit(lambda R, t, r=r, i=i, mode=mode: pose_optimization(
+            R, t, obs, cam, jnp.asarray(bf, jnp.float32),
+            rounds=r, iters_per_round=i, mode=mode))
+        ms = timeit(lambda c: (lambda res: (res.Rcw, res.tcw))(po(*c)),
+                    (R0, t0v), rtt)
+        print(f"pose_opt[{mode}]({r}x{i}) {ms:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

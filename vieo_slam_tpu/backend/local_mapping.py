@@ -73,29 +73,36 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def process_keyframe(self, k: int):
-        """Full LocalMapping::Run body for one new keyframe."""
+        """Full LocalMapping::Run body for one new keyframe.
+
+        Lock discipline (async pipeline, SURVEY §2.4 host-side pipeline
+        concurrency): every host-side map mutation runs under map.lock in
+        short bursts; the local-BA device solve — the dominant latency —
+        runs UNLOCKED so tracking proceeds concurrently (run_local_ba
+        splits prep / solve / write-back itself)."""
         from ..utils.metrics import metrics
 
-        with metrics.timer("lm.create_points"):
+        m = self.map
+        with metrics.timer("lm.create_points"), m.lock:
             new_ids = self.create_close_landmarks(k)
             tri_ids = self.triangulate_new_landmarks(k)
         new_ids = np.concatenate([new_ids, tri_ids])
         metrics.count("landmarks_created", int(new_ids.size))
         if new_ids.size:
             self.recent_lms.append((k, new_ids))
-        with metrics.timer("lm.cull"):
+        with metrics.timer("lm.cull"), m.lock:
             self.cull_landmarks(k)
         if not self.skip_local_ba:
             with metrics.timer("lm.local_ba"):
                 self.run_local_ba(k)
-        with metrics.timer("lm.kf_cull"):
+        with metrics.timer("lm.kf_cull"), m.lock:
             self.cull_keyframes(k)
         # MapPoint maintenance (distinctive descriptor, normal, scale
         # band) over everything this KF touches — src/MapPoint.cc
         # ComputeDistinctiveDescriptors / UpdateNormalAndDepth.
-        m = self.map
-        touched = m.kf_lm_idx[k]
-        m.update_landmark_geometry(touched[touched >= 0])
+        with m.lock:
+            touched = m.kf_lm_idx[k]
+            m.update_landmark_geometry(touched[touched >= 0])
 
     # ------------------------------------------------------------------
 
@@ -244,46 +251,52 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def run_local_ba(self, k: int):
-        """Windowed BA around keyframe k (LocalBundleAdjustment)."""
+        """Windowed BA around keyframe k (LocalBundleAdjustment).
+
+        Prep and write-back run under map.lock; the device solve (the
+        long pole) runs unlocked so tracking overlaps it."""
         m = self.map
         cfg = self.cfg
-        neigh, _ = m.covisible_keyframes(k, min_shared=5)
-        window = np.concatenate([[k], neigh[: cfg.window_size - 1]])
-        window = np.unique(window)
-        if m.n_keyframes() <= 2:
-            return
-        lm_ids = m.landmarks_in_keyframes(window)
-        lm_ids = lm_ids[m.lm_valid[lm_ids]]
-        if lm_ids.size < 10:
-            return
-        # fixed ring: KFs observing window landmarks but not in window.
-        obs_any = np.isin(m.kf_lm_idx, lm_ids) & (m.kf_lm_idx >= 0)
-        ring = np.nonzero(obs_any.any(axis=1) & m.kf_valid)[0]
-        ring = np.setdiff1d(ring, window)[: cfg.fixed_ring]
-        # The earliest window KF is fixed if there is no ring (gauge).
-        if ring.size == 0:
-            ring = window[:1]
-            window = window[1:]
-            if window.size == 0:
+        with m.lock:
+            neigh, _ = m.covisible_keyframes(k, min_shared=5)
+            window = np.concatenate([[k], neigh[: cfg.window_size - 1]])
+            window = np.unique(window)
+            if m.n_keyframes() <= 2:
                 return
-
-        prob_np, kf_order, lm_ids = m.build_ba_problem(window, ring, lm_ids)
+            lm_ids = m.landmarks_in_keyframes(window)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            if lm_ids.size < 10:
+                return
+            # fixed ring: KFs observing window landmarks but not in window.
+            obs_any = np.isin(m.kf_lm_idx, lm_ids) & (m.kf_lm_idx >= 0)
+            ring = np.nonzero(obs_any.any(axis=1) & m.kf_valid)[0]
+            ring = np.setdiff1d(ring, window)[: cfg.fixed_ring]
+            # The earliest window KF is fixed if there is no ring (gauge).
+            if ring.size == 0:
+                ring = window[:1]
+                window = window[1:]
+                if window.size == 0:
+                    return
+            prob_np, kf_order, lm_ids = m.build_ba_problem(
+                window, ring, lm_ids)
         prob = self._pad_problem(prob_np)
         res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32))
         K, M = len(kf_order), len(lm_ids)
-        m.apply_ba_result(
-            kf_order, lm_ids,
-            np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
-            np.asarray(res.pw)[:M], n_free=len(window),
-        )
-        # Outlier observation removal (reference erases edges post-BA).
+        # force the device solve to completion OUTSIDE the lock
+        Rcw = np.asarray(res.Rcw)[:K]
+        tcw = np.asarray(res.tcw)[:K]
+        pw = np.asarray(res.pw)[:M]
         inl = np.asarray(res.obs_inlier)[:M]
-        obs_kf, obs_kp = m.landmark_observations(lm_ids)
-        bad = (obs_kf >= 0) & np.isin(obs_kf, kf_order) & ~inl
-        mm, oo = np.nonzero(bad)
-        if mm.size:
-            m.kf_lm_idx[obs_kf[mm, oo], obs_kp[mm, oo]] = -1
-            np.add.at(m.lm_n_obs, lm_ids[mm], -1)
+        with m.lock:
+            m.apply_ba_result(kf_order, lm_ids, Rcw, tcw, pw,
+                              n_free=len(window))
+            # Outlier observation removal (reference erases edges post-BA).
+            obs_kf, obs_kp = m.landmark_observations(lm_ids)
+            bad = (obs_kf >= 0) & np.isin(obs_kf, kf_order) & ~inl
+            mm, oo = np.nonzero(bad)
+            if mm.size:
+                m.kf_lm_idx[obs_kf[mm, oo], obs_kp[mm, oo]] = -1
+                np.add.at(m.lm_n_obs, lm_ids[mm], -1)
 
     # ------------------------------------------------------------------
 

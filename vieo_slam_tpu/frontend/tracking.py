@@ -166,6 +166,12 @@ class Tracker:
                                          # cleared by the VIO frontend
         self.last_slab = None            # (pw, lm_ids) of the last track
         self._mono_init_frame: Optional[Frame] = None
+        # Async-mapping handoff (the reference's bMapUpdated rebase for a
+        # mapping thread that finishes while tracking has moved on): the
+        # mapper publishes (Tcw_old_k, Tcw_new_k) of the keyframe it just
+        # corrected; the tracker applies the relative correction
+        # Tcw <- Tcw ∘ Tcw_old_k^-1 ∘ Tcw_new_k at the next frame.
+        self.pending_correction = None
         # trajectory log: (timestamp, Rcw, tcw, state)
         self.trajectory = []
 
@@ -349,8 +355,25 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
+    def _apply_pending_correction(self):
+        corr = self.pending_correction
+        if corr is None:
+            return
+        self.pending_correction = None
+        R_old, t_old, R_new, t_new = corr
+        # Tcw <- Tcw ∘ (Tcw_old_k)^-1 ∘ Tcw_new_k keeps the frame-to-KF
+        # relative pose while adopting the BA-corrected map gauge:
+        # dT = T_old^-1 T_new; R' = R dR, t' = R dt + t.
+        dR = R_old.T @ R_new
+        dt = R_old.T @ (t_new - t_old)
+        R_cur = self.Rcw
+        self.Rcw = normalize_rotation_np(R_cur @ dR)
+        self.tcw = (R_cur @ dt + self.tcw).astype(np.float32)
+
     def _track_frame(self, frame: Frame):
-        pw, desc, level, valid, lm_ids = self._local_landmark_slab()
+        with self.map.lock:
+            self._apply_pending_correction()
+            pw, desc, level, valid, lm_ids = self._local_landmark_slab()
         R0, t0 = self._predict_pose()
         # Tight window always (wide windows re-admit the mismatches that
         # pin the pose valley); unpredicted fast motion is caught by the
@@ -428,17 +451,18 @@ class Tracker:
         # depth / duplicates).
         vis_ids = lm_ids[np.asarray(res.in_frustum) & (lm_ids >= 0)]
         fnd_ids = lm_ids[np.asarray(res.inlier) & (lm_ids >= 0)]
-        np.add.at(self.map.lm_visible, vis_ids, 1)
-        np.add.at(self.map.lm_found, fnd_ids, 1)
+        with self.map.lock:
+            np.add.at(self.map.lm_visible, vis_ids, 1)
+            np.add.at(self.map.lm_found, fnd_ids, 1)
 
-        if self._need_new_keyframe(n_inl):
-            lm_idx_full = self._frame_landmark_assoc(res, lm_ids,
-                                                     np.asarray(frame.valid))
-            k = self._insert_keyframe(frame, lm_idx_full)
-            self.last_kf_id = k
-            self.last_new_kf = k
-            self.ref_tracked = n_inl
-            self.frames_since_kf = 0
+            if self._need_new_keyframe(n_inl):
+                lm_idx_full = self._frame_landmark_assoc(
+                    res, lm_ids, np.asarray(frame.valid))
+                k = self._insert_keyframe(frame, lm_idx_full)
+                self.last_kf_id = k
+                self.last_new_kf = k
+                self.ref_tracked = n_inl
+                self.frames_since_kf = 0
 
     # ------------------------------------------------------------------
 
@@ -450,6 +474,9 @@ class Tracker:
         n_kp = kp_valid.shape[0]
         out = np.full(n_kp, -1, np.int32)
         ok = (lm_match >= 0) & inlier & (lm_ids >= 0)
+        # async mapping: a slab landmark may have been culled by the
+        # mapper between the slab snapshot and this KF insertion
+        ok &= self.map.lm_valid[np.clip(lm_ids, 0, None)]
         out[lm_match[ok]] = lm_ids[ok]
         return out
 

@@ -44,6 +44,13 @@ class MapState:
         K, L, N = cfg.max_keyframes, cfg.max_landmarks, cfg.max_kp
         self.version = 0                 # bumped on every structural change
         self.big_change_idx = 0          # loop/GBA-scale changes
+        # Host-side map mutex for the async-mapping pipeline (the
+        # reference's mMutexMapUpdate, Map.h): held only around SHORT
+        # numpy mutation/snapshot sections — never around device solves,
+        # which is where the tracking/mapping overlap comes from.
+        # Reentrant so the synchronous pipeline can nest freely.
+        import threading
+        self.lock = threading.RLock()
 
         # --- keyframes ---
         self.kf_valid = np.zeros(K, bool)

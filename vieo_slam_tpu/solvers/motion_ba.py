@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..cameras import models as cm
 from ..math import lie
-from .lm import huber_cost, huber_weight, lm_solve
+from .lm import huber_cost, huber_weight, lm_solve, lm_solve_parallel
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -173,6 +173,11 @@ def pose_optimization(
             pose, _ = jax.lax.scan(gn_step, pose, None,
                                    length=iters_per_round)
             H, _, _ = system_fn(pose)
+        elif mode == "plm":
+            # Parallel-lambda LM: same serial depth per iteration as LM
+            # but no rejected-step waste — supports shorter schedules.
+            pose, _, H = lm_solve_parallel(system_fn, cost_fn, retract,
+                                           pose, iters=iters_per_round)
         else:
             pose, _, H = lm_solve(system_fn, cost_fn, retract, pose,
                                   iters=iters_per_round)

@@ -43,6 +43,13 @@ class SystemConfig:
     mapper: LocalMappingConfig = dataclasses.field(
         default_factory=LocalMappingConfig)
     localization_only: bool = False
+    # Pipeline concurrency (the reference's Tracking/LocalMapping thread
+    # split, SURVEY §2.4): when True, keyframe processing (local mapping,
+    # loop closing, GBA) runs on a worker thread against map.lock'd
+    # snapshots while tracking continues; map corrections reach the
+    # tracker through pending_correction at the next frame boundary
+    # (bMapUpdated semantics).  When False everything is synchronous.
+    async_mapping: bool = False
 
 
 class System:
@@ -57,12 +64,78 @@ class System:
         self.tracker = Tracker(cam, bf, self.map, self.cfg.tracker)
         self.mapper = LocalMapper(cam, bf, self.map, self.cfg.mapper)
         self.loop_closer = None   # attached by loop/ module when enabled
+        self._kf_queue = None
+        self._worker = None
+        self._worker_error = None
+        if self.cfg.async_mapping:
+            self._start_worker()
 
     # ------------------------------------------------------------------
+
+    def _start_worker(self):
+        import queue
+        import threading
+
+        self._kf_queue = queue.Queue(maxsize=4)
+        self._worker = threading.Thread(
+            target=self._worker_loop, name="local-mapping", daemon=True)
+        self._worker.start()
+
+    def _worker_loop(self):
+        """LocalMapping+LoopClosing worker (the reference's backend
+        threads, LocalMapping.cc:56 / LoopClosing.cc:93)."""
+        while True:
+            item = self._kf_queue.get()
+            if item is None:
+                self._kf_queue.task_done()
+                return
+            k = item
+            try:
+                with self.map.lock:
+                    R_old = self.map.kf_Rcw[k].copy()
+                    t_old = self.map.kf_tcw[k].copy()
+                self._process_keyframe_stage(k)
+                with self.map.lock:
+                    R_new = self.map.kf_Rcw[k].copy()
+                    t_new = self.map.kf_tcw[k].copy()
+                    self.tracker.pending_correction = (
+                        R_old, t_old, R_new, t_new)
+            except Exception as e:       # surfaced on the next track call
+                self._worker_error = e
+            finally:
+                self._kf_queue.task_done()
+
+    def wait_idle(self):
+        """Block until the mapping worker has drained its queue (the
+        reference's CheckFinish/RequestStop handshake before save/GBA)."""
+        if self._kf_queue is not None:
+            self._kf_queue.join()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
+    def _process_keyframe_stage(self, new_kf: int):
+        """Backend work for one keyframe: local mapping, loop closing,
+        follow-up GBA.  Runs inline (sync mode) or on the worker."""
+        with metrics.timer("local_mapping"):
+            self.mapper.process_keyframe(new_kf)
+        if self.loop_closer is not None:
+            with metrics.timer("loop_closing"):
+                closed = self.loop_closer.process_keyframe(new_kf)
+            if closed:
+                # Loop closed: grind the pose-graph solution down with a
+                # global BA (the reference's GBA thread,
+                # LoopClosing::RunGlobalBundleAdjustment).
+                metrics.count("loops_closed")
+                with metrics.timer("gba"):
+                    self.mapper.run_global_ba()
 
     def track_frame(self, frame: Frame) -> TrackState:
         """Track one pre-built Frame (feature-level entry; image-level
         wrappers in frontend.frame build Frames from pixels)."""
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
         with metrics.timer("frame"):
             with metrics.timer("track"):
                 state = self.tracker.track(frame)
@@ -71,29 +144,24 @@ class System:
                 # (Tracking::Relocalization path).
                 from .frontend.relocalization import try_relocalize
 
-                with metrics.timer("relocalize"):
+                with metrics.timer("relocalize"), self.map.lock:
                     if try_relocalize(self, self.loop_closer, frame):
                         state = self.tracker.state
                 metrics.count("reloc_attempts")
             new_kf = self.tracker.last_new_kf
             if new_kf is not None and not self.cfg.localization_only:
                 metrics.count("keyframes")
-                with metrics.timer("local_mapping"):
-                    self.mapper.process_keyframe(new_kf)
-                if self.loop_closer is not None:
-                    with metrics.timer("loop_closing"):
-                        closed = self.loop_closer.process_keyframe(new_kf)
-                    if closed:
-                        # Loop closed: grind the pose-graph solution down
-                        # with a global BA (the reference's GBA thread,
-                        # LoopClosing::RunGlobalBundleAdjustment).
-                        metrics.count("loops_closed")
-                        with metrics.timer("gba"):
-                            self.mapper.run_global_ba()
-                # Local BA may have moved the new KF (and the map): rebase
-                # the tracker's pose so the next prediction is
-                # map-consistent.
-                self.tracker.rebase_to_keyframe(new_kf)
+                if self._kf_queue is not None:
+                    # async: hand the KF to the worker; a full queue
+                    # applies back-pressure like the reference's
+                    # SetAcceptKeyFrames(false)
+                    self._kf_queue.put(new_kf)
+                else:
+                    self._process_keyframe_stage(new_kf)
+                    # Local BA may have moved the new KF (and the map):
+                    # rebase the tracker's pose so the next prediction
+                    # is map-consistent.
+                    self.tracker.rebase_to_keyframe(new_kf)
         metrics.set_gauge("map_keyframes", int(self.map.n_keyframes()))
         metrics.set_gauge("map_landmarks", int(self.map.n_landmarks()))
         metrics.count(f"state_{state.name}")
@@ -130,6 +198,7 @@ class System:
     def save_map(self, path: str):
         """System::SaveMap (src/System.cc:272): persist the sparse map."""
         from .io.serialization import save_map
+        self.wait_idle()
         save_map(self.map, path)
 
     def load_map(self, path: str):
@@ -140,6 +209,7 @@ class System:
         relocalizes against the loaded map."""
         from .io.serialization import load_map
 
+        self.wait_idle()
         self.map = load_map(path)
         self.tracker.map = self.map
         self.mapper.map = self.map
@@ -159,6 +229,7 @@ class System:
 
     def reset(self):
         """System::Reset: fresh map, tracker re-initializes."""
+        self.wait_idle()
         self.map = MapState(self.cfg.map)
         self.tracker = Tracker(self.cam, self.bf, self.map,
                                self.cfg.tracker)
@@ -171,6 +242,7 @@ class System:
     def final_global_ba(self):
         """System::FinalGBA (System.cc:24): one full-map BA at shutdown,
         the reference's with/without-full-BA A/B output."""
+        self.wait_idle()
         self.mapper.run_global_ba(stage_iters=(10, 15))
 
     def metrics_report(self) -> dict:
@@ -184,6 +256,12 @@ class System:
         the per-stage timing report (stereo_euroc.cc:325-333 exit
         report)."""
         import jax
+        self.wait_idle()
+        if self._worker is not None:
+            self._kf_queue.put(None)
+            self._worker.join(timeout=30.0)
+            self._worker = None
+            self._kf_queue = None
         # Block on any async dispatches still in flight.
         jax.effects_barrier()
         if print_report:
