@@ -22,6 +22,7 @@ Measurement methodology (axon relay, root-caused in round 2):
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -39,8 +40,15 @@ BASELINE_MS_375 = 11.0   # reference low-compute row (README.md:60)
 
 H, W = 480, 752
 SLAB = 4096
-N_FRAMES = 50
-SCHEDULE = (3, 6, 2, 4)
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "50"))
+SCHEDULE = tuple(int(x) for x in os.environ.get(
+    "BENCH_SCHEDULE", "3,6,2,4").split(","))
+OPT_MODE = os.environ.get("BENCH_OPT_MODE", "lm")
+# Batch the two stereo images through ONE vmapped ORB program: the
+# one-hot gather contractions and convs batch onto the MXU instead of
+# running as two half-sized programs.  Default off until measured
+# faster on the real chip (flip after an A/B with extract2_ms).
+BATCH_STEREO = os.environ.get("BENCH_BATCH_STEREO", "0") == "1"
 
 
 def force_real_mode():
@@ -71,6 +79,8 @@ def build_pipeline(n_features: int):
     scales = cfg.level_scales.astype(np.float32)
 
     extract = jax.jit(lambda im: orb.extract_orb(im, cfg))
+    extract2 = jax.jit(
+        lambda ims: jax.vmap(lambda im: orb.extract_orb(im, cfg))(ims))
 
     @jax.jit
     def stereo_depth(fl, fr):
@@ -82,6 +92,13 @@ def build_pipeline(n_features: int):
         depth = jnp.where(u_r >= 0, bf / jnp.maximum(disp, 1e-6), -1.0)
         return u_r, depth
 
+    @jax.jit
+    def stereo_depth_b(flr):
+        fl = jax.tree.map(lambda a: a[0], flr)
+        fr = jax.tree.map(lambda a: a[1], flr)
+        u_r, depth = stereo_depth(fl, fr)
+        return fl, u_r, depth
+
     track = jax.jit(
         lambda fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t: _track_kernel(
             R, t,
@@ -91,13 +108,20 @@ def build_pipeline(n_features: int):
                   timestamp=jnp.asarray(0.0)),
             inv_sigma2, scales,
             jnp.asarray(15.0, jnp.float32), jnp.asarray(6.0, jnp.float32),
-            jnp.asarray(bf, jnp.float32), cam, schedule=SCHEDULE))
+            jnp.asarray(bf, jnp.float32), cam, schedule=SCHEDULE,
+            opt_mode=OPT_MODE))
 
-    def frame_step(img_l, img_r, lm_pw, lm_desc, lm_valid, R, t):
-        fl = extract(img_l)
-        fr = extract(img_r)
-        u_r, depth = stereo_depth(fl, fr)
-        return track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t)
+    if BATCH_STEREO:
+        def frame_step(img_lr, _unused, lm_pw, lm_desc, lm_valid, R, t):
+            f = extract2(img_lr)
+            fl, u_r, depth = stereo_depth_b(f)
+            return track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t)
+    else:
+        def frame_step(img_l, img_r, lm_pw, lm_desc, lm_valid, R, t):
+            fl = extract(img_l)
+            fr = extract(img_r)
+            u_r, depth = stereo_depth(fl, fr)
+            return track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t)
 
     return frame_step, (extract, stereo_depth, track)
 
@@ -110,9 +134,14 @@ def stage_inputs():
         ys = rng.randint(20, H - 20, 400)
         xs = rng.randint(20, W - 20, 400)
         base[b, ys, xs] = 255.0
-    imgs_l = [jax.device_put(base[b]) for b in range(B)]
-    imgs_r = [jax.device_put(np.roll(base[b], -6, axis=1).copy())
-              for b in range(B)]
+    if BATCH_STEREO:
+        imgs_l = [jax.device_put(np.stack(
+            [base[b], np.roll(base[b], -6, axis=1)])) for b in range(B)]
+        imgs_r = [None] * B
+    else:
+        imgs_l = [jax.device_put(base[b]) for b in range(B)]
+        imgs_r = [jax.device_put(np.roll(base[b], -6, axis=1).copy())
+                  for b in range(B)]
     lm_pw = jax.device_put(
         (rng.randn(SLAB, 3) * [2, 1.5, 1] + [0, 0, 6]).astype(np.float32))
     lm_desc = jax.device_put(
@@ -144,6 +173,10 @@ def run_stages(n_features: int, rtt: float, inputs) -> dict:
     as the full-frame row)."""
     imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
     _, (extract, stereo_depth, track) = build_pipeline(n_features)
+    if BATCH_STEREO:      # per-stage timing always uses single images
+        img_l0, img_r0 = imgs_l[0][0], imgs_l[0][1]
+    else:
+        img_l0, img_r0 = imgs_l[0], imgs_r[0]
 
     # Chaining dependencies must live INSIDE jitted programs: any eager
     # op or slice is its own dispatch and (on the axon relay) can cost a
@@ -158,10 +191,10 @@ def run_stages(n_features: int, rtt: float, inputs) -> dict:
         u_r, depth = stereo_depth(fl._replace(uv=fl.uv + 1e-12 * dep), fr)
         return u_r, depth, depth[0]
 
-    fl = extract(imgs_l[0])
-    fr = extract(imgs_r[0])
+    fl = extract(img_l0)
+    fr = extract(img_r0)
     dep0 = jnp.asarray(0.0, jnp.float32)
-    _, dep = extract_step(imgs_l[0], dep0)
+    _, dep = extract_step(img_l0, dep0)
     u_r, depth, sdep = stereo_step(fl, fr, dep0)
     out = track(fl, u_r, depth, lm_pw, lm_desc, lm_valid, R0, t0)
     jax.block_until_ready((fl, fr, u_r, depth, out, dep, sdep))
@@ -170,9 +203,29 @@ def run_stages(n_features: int, rtt: float, inputs) -> dict:
     dep = dep0
     st = time.time()
     for _ in range(N_FRAMES):
-        _, dep = extract_step(imgs_l[0], dep)
+        _, dep = extract_step(img_l0, dep)
     jax.block_until_ready(dep)
     ms["extract_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
+
+    if BATCH_STEREO:
+        # both stereo images through one vmapped program
+        cfg2 = orb.OrbConfig(n_features=n_features, n_levels=8)
+        extract2 = jax.jit(lambda ims: jax.vmap(
+            lambda im: orb.extract_orb(im, cfg2))(ims))
+
+        @jax.jit
+        def extract2_step(ims, dep):
+            f = extract2(ims + 1e-12 * dep)
+            return f, f.uv[0, 0, 0]
+
+        _, dep = extract2_step(imgs_l[0], dep0)
+        jax.block_until_ready(dep)
+        dep = dep0
+        st = time.time()
+        for _ in range(N_FRAMES):
+            _, dep = extract2_step(imgs_l[0], dep)
+        jax.block_until_ready(dep)
+        ms["extract2_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
 
     dep = dep0
     st = time.time()

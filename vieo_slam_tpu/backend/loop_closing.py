@@ -40,8 +40,12 @@ class LoopClosingConfig:
     inlier_thresh: float = 0.10     # metric 3D-3D gate
     fix_scale: bool = True          # stereo/RGB-D
     covis_edge_min: int = 30        # covisibility edges >= N shared
+    # k^L leaf words.  8^4 = 4096 trains in ~2.6 s on 30k descriptors;
+    # the 512-word default of round 1 under-discriminated larger maps
+    # (ORBvoc is 10^6 words for lifetime reuse — a per-session map needs
+    # far fewer, and load_dbow_text ingests a full ORBvoc when provided).
     voc_k: int = 8
-    voc_L: int = 3
+    voc_L: int = 4
     voc_train_after: int = 3        # train vocab once N KFs exist
     max_pose_graph_kfs: int = 512
 

@@ -175,6 +175,12 @@ def preintegrate_imu(
 
     def step(c: Carry, x):
         w_k, a_k, dt_k = x
+        # f64 inputs (timestamps / sensor streams) would promote the
+        # A/cov scatter updates under jax_enable_x64 (a hard error in
+        # future JAX); integrate in the carry dtype.
+        w_k = w_k.astype(dtype)
+        a_k = a_k.astype(dtype)
+        dt_k = dt_k.astype(dtype)
         dR_k = lie.so3_exp(w_k * dt_k)
         Jr_k = lie.so3_jr(w_k * dt_k)
         Ra = c.dR @ hat_a(a_k)

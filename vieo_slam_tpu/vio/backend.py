@@ -311,31 +311,35 @@ class VioBackend:
 
     def run_local_ba(self, k: int) -> bool:
         """PRV sliding-window local BA around keyframe k
-        (LocalBundleAdjustmentNavStatePRV, Optimizer.cc:21-770)."""
+        (LocalBundleAdjustmentNavStatePRV, Optimizer.cc:21-770).
+
+        Runs in the tracking thread; map.lock scopes the problem build
+        and the write-back against the async-mapping worker."""
         m = self.map
         cfg = self.cfg
-        # temporal window: walk kf_prev from k
-        window = [k]
-        cur = k
-        while len(window) < cfg.window_size + 1:
-            p = int(m.kf_prev[cur])
-            if p < 0:
-                break
-            window.append(p)
-            cur = p
-        window = np.asarray(window[::-1], int)   # time-ordered, oldest first
-        if len(window) < 3:
-            return False
-        lm_ids = m.landmarks_in_keyframes(window)
-        lm_ids = lm_ids[m.lm_valid[lm_ids]]
-        if lm_ids.size < 10:
-            return False
-        obs_any = np.isin(m.kf_lm_idx, lm_ids) & (m.kf_lm_idx >= 0)
-        ring = np.nonzero(obs_any.any(axis=1) & m.kf_valid)[0]
-        ring = np.setdiff1d(ring, window)[: cfg.fixed_covis]
-        # The oldest window KF is the temporal anchor: fixed PR + fixed
-        # V/Bias (the reference fixes the N+1-th KF entirely).
-        prob, kf_order, lm_ids = self._build(window, ring, lm_ids)
+        with m.lock:
+            # temporal window: walk kf_prev from k
+            window = [k]
+            cur = k
+            while len(window) < cfg.window_size + 1:
+                p = int(m.kf_prev[cur])
+                if p < 0:
+                    break
+                window.append(p)
+                cur = p
+            window = np.asarray(window[::-1], int)  # oldest first
+            if len(window) < 3:
+                return False
+            lm_ids = m.landmarks_in_keyframes(window)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            if lm_ids.size < 10:
+                return False
+            obs_any = np.isin(m.kf_lm_idx, lm_ids) & (m.kf_lm_idx >= 0)
+            ring = np.nonzero(obs_any.any(axis=1) & m.kf_valid)[0]
+            ring = np.setdiff1d(ring, window)[: cfg.fixed_covis]
+            # The oldest window KF is the temporal anchor: fixed PR +
+            # fixed V/Bias (the reference fixes the N+1-th KF entirely).
+            prob, kf_order, lm_ids = self._build(window, ring, lm_ids)
         n_window = len(window)
         fixed_pr = np.asarray(prob.fixed_pr).copy()
         fixed_vb = np.asarray(prob.fixed_vb).copy()
@@ -362,7 +366,8 @@ class VioBackend:
         res = _vio_ba_jit(prob, self.cam, self._solve_cfg(),
                           cfg.stage_iters, False, False,
                           bool(self.enc_ring is not None))
-        return self._apply(res, kf_order, lm_ids, n_free=n_window)
+        with m.lock:
+            return self._apply(res, kf_order, lm_ids, n_free=n_window)
 
     def run_global_ba(self, *, opt_scale=False, opt_gdir=False,
                       init_prior=False) -> bool:
@@ -370,23 +375,25 @@ class VioBackend:
         the initial-bias prior this is the VI-init follow-up GBA
         (GlobalBundleAdjustmentNavStatePRV + VertexGThetaXYRwI)."""
         m = self.map
-        kfs = m.keyframe_ids()
-        if len(kfs) < 4:
-            return False
-        window = kfs                       # all free except gauge below
-        lm_ids = m.landmarks_in_keyframes(kfs)
-        lm_ids = lm_ids[m.lm_valid[lm_ids]]
-        if lm_ids.size < 10:
-            return False
-        prior_bias = None
-        prior_dt = 0.0
-        if init_prior:
-            prior_bias = np.concatenate([m.kf_bg[kfs[0]], m.kf_ba[kfs[0]]])
-            prior_dt = float(m.kf_timestamp[kfs[-1]]
-                             - m.kf_timestamp[kfs[0]])
-        prob, kf_order, lm_ids = self._build(
-            window, np.zeros(0, int), lm_ids,
-            prior_bias=prior_bias, prior_dt=prior_dt)
+        with m.lock:
+            kfs = m.keyframe_ids()
+            if len(kfs) < 4:
+                return False
+            window = kfs                   # all free except gauge below
+            lm_ids = m.landmarks_in_keyframes(kfs)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            if lm_ids.size < 10:
+                return False
+            prior_bias = None
+            prior_dt = 0.0
+            if init_prior:
+                prior_bias = np.concatenate(
+                    [m.kf_bg[kfs[0]], m.kf_ba[kfs[0]]])
+                prior_dt = float(m.kf_timestamp[kfs[-1]]
+                                 - m.kf_timestamp[kfs[0]])
+            prob, kf_order, lm_ids = self._build(
+                window, np.zeros(0, int), lm_ids,
+                prior_bias=prior_bias, prior_dt=prior_dt)
         # gauge: first KF fixed PR; V/Bias free iff init mode
         fixed_pr = np.asarray(prob.fixed_pr).copy()
         fixed_vb = np.asarray(prob.fixed_vb).copy()
@@ -397,19 +404,20 @@ class VioBackend:
         res = _vio_ba_jit(prob, self.cam, self._solve_cfg(),
                           self.cfg.gba_stage_iters, opt_scale, opt_gdir,
                           bool(self.enc_ring is not None))
-        ok = self._apply(res, kf_order, lm_ids, n_free=len(window))
-        if not ok:
-            return False
-        s = float(res.scale)
-        if opt_scale and np.isfinite(s) and abs(s - 1.0) > 1e-4:
-            # apply the residual metric scale to the whole map (the
-            # solver's scale gauge: p_metric = s * p_visual).
-            m.lm_pw[m.lm_valid] *= s
-            sel = m.kf_valid
-            m.kf_tcw[sel] *= s
-            m.kf_pwb[sel] *= s
-            m.version += 1
-        if opt_gdir:
-            self.gravity = np.asarray(res.gravity, np.float32)
-        m.big_change_idx += 1
+        with m.lock:
+            ok = self._apply(res, kf_order, lm_ids, n_free=len(window))
+            if not ok:
+                return False
+            s = float(res.scale)
+            if opt_scale and np.isfinite(s) and abs(s - 1.0) > 1e-4:
+                # apply the residual metric scale to the whole map (the
+                # solver's scale gauge: p_metric = s * p_visual).
+                m.lm_pw[m.lm_valid] *= s
+                sel = m.kf_valid
+                m.kf_tcw[sel] *= s
+                m.kf_pwb[sel] *= s
+                m.version += 1
+            if opt_gdir:
+                self.gravity = np.asarray(res.gravity, np.float32)
+            m.big_change_idx += 1
         return True
