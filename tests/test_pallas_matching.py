@@ -91,3 +91,47 @@ def test_matchers_same_result_forced_pallas(monkeypatch):
     idx_p, dist_p = run()
     np.testing.assert_array_equal(idx_x, idx_p)
     np.testing.assert_array_equal(dist_x, dist_p)
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (200, 300), (300, 129)])
+def test_fused_projection_best2_matches_xla(m, n):
+    """The in-kernel mask build (window + level + valid) must reproduce
+    the XLA search_by_projection mask exactly."""
+    rng = np.random.RandomState(m * 7 + n)
+    da = rng.randint(0, 2 ** 32, (m, 8), np.uint64).astype(np.uint32)
+    db = rng.randint(0, 2 ** 32, (n, 8), np.uint64).astype(np.uint32)
+    db[: min(m, n) // 3] = da[: min(m, n) // 3]
+    uv_a = rng.rand(m, 2).astype(np.float32) * [640, 480]
+    uv_b = rng.rand(n, 2).astype(np.float32) * [640, 480]
+    # cluster some points so windows actually overlap
+    k = min(n // 2, m)
+    uv_b[:k] = uv_a[:k] + rng.randn(k, 2) * 20
+    lvl_a = rng.randint(0, 8, m).astype(np.int32)
+    lvl_b = rng.randint(0, 8, n).astype(np.int32)
+    val_a = rng.rand(m) < 0.9
+    val_b = rng.rand(n) < 0.9
+    r = (20.0 * 1.2 ** lvl_a).astype(np.float32)
+    tol = 2
+
+    d2 = np.sum((uv_a[:, None, :] - uv_b[None, :, :]) ** 2, -1)
+    mask = ((d2 <= (r[:, None] ** 2))
+            & (np.abs(lvl_b[None, :] - lvl_a[:, None]) <= tol)
+            & val_a[:, None] & val_b[None, :])
+    ref = _xla_ref(jnp.asarray(da), jnp.asarray(db), jnp.asarray(mask))
+    out = pallas_matching.fused_projection_best2(
+        jnp.asarray(da), jnp.asarray(db),
+        jnp.asarray(uv_a), jnp.asarray(r), jnp.asarray(lvl_a),
+        jnp.asarray(val_a),
+        jnp.asarray(uv_b), jnp.asarray(lvl_b), jnp.asarray(val_b),
+        float(tol), tile_m=128, interpret=True)
+    out = tuple(np.asarray(o) for o in out)
+    np.testing.assert_array_equal(out[1], ref[1])          # best
+    np.testing.assert_array_equal(out[2], ref[2])          # second
+    rows_matched = ref[1] < matching.INF
+    np.testing.assert_array_equal(out[0][rows_matched],
+                                  ref[0][rows_matched])    # best idx
+    cols_hit = np.asarray(jnp.min(jnp.where(
+        jnp.asarray(mask), matching.hamming_matrix(
+            jnp.asarray(da), jnp.asarray(db)), matching.INF),
+        axis=0)) < matching.INF
+    np.testing.assert_array_equal(out[3][cols_hit], ref[3][cols_hit])

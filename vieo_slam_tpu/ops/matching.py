@@ -215,11 +215,24 @@ def search_by_projection(
     """
     level_scales = jnp.asarray(level_scales)
     r = radius * lookup_small(level_scales, proj_level)
-    d2 = jnp.sum((proj_uv[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
-    within = d2 <= (r[:, None] ** 2)
-    lvl_ok = jnp.abs(kp_level[None, :] - proj_level[:, None]) <= level_tolerance
-    mask = within & lvl_ok & proj_valid[:, None] & kp_valid[None, :]
-    best_idx, best, second, col_best = _best2(proj_desc, kp_desc, mask)
+    if _use_pallas():
+        # Fully fused: window + level gate + Hamming + best2 in VMEM —
+        # no [M, N] distance/mask intermediates in HBM.
+        interpret = jax.default_backend() != "tpu"
+        best_idx, best, second, col_best = \
+            pallas_matching.fused_projection_best2(
+                proj_desc, kp_desc, proj_uv, r, proj_level, proj_valid,
+                kp_uv, kp_level, kp_valid,
+                jnp.asarray(level_tolerance, jnp.float32),
+                interpret=interpret)
+    else:
+        d2 = jnp.sum((proj_uv[:, None, :] - kp_uv[None, :, :]) ** 2,
+                     axis=-1)
+        within = d2 <= (r[:, None] ** 2)
+        lvl_ok = jnp.abs(kp_level[None, :]
+                         - proj_level[:, None]) <= level_tolerance
+        mask = within & lvl_ok & proj_valid[:, None] & kp_valid[None, :]
+        best_idx, best, second, col_best = _best2(proj_desc, kp_desc, mask)
     ok = best <= max_dist
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32)
