@@ -70,6 +70,45 @@ def main():
             print("  col rows differ:", badc)
             raise SystemExit(1)
 
+    # fused_projection_best2: in-kernel window/level mask build
+    for (m, n) in [(4096, 1200), (512, 500)]:
+        da = rng.randint(0, 2 ** 32, (m, 8), np.uint64).astype(np.uint32)
+        db = rng.randint(0, 2 ** 32, (n, 8), np.uint64).astype(np.uint32)
+        db[: min(m, n) // 4] = da[: min(m, n) // 4]
+        uv_a = (rng.rand(m, 2) * [752, 480]).astype(np.float32)
+        uv_b = (rng.rand(n, 2) * [752, 480]).astype(np.float32)
+        k = min(n // 2, m)
+        uv_b[:k] = uv_a[:k] + rng.randn(k, 2).astype(np.float32) * 10
+        lvl_a = rng.randint(0, 8, m).astype(np.int32)
+        lvl_b = rng.randint(0, 8, n).astype(np.int32)
+        val_a = rng.rand(m) < 0.9
+        val_b = rng.rand(n) < 0.9
+        r = (15.0 * 1.2 ** lvl_a).astype(np.float32)
+        tol = 8
+        d2 = np.sum((uv_a[:, None, :] - uv_b[None, :, :]) ** 2, -1)
+        mask = ((d2 <= (r[:, None] ** 2))
+                & (np.abs(lvl_b[None, :] - lvl_a[:, None]) <= tol)
+                & val_a[:, None] & val_b[None, :])
+        fproj = jax.jit(lambda *a: pallas_matching.fused_projection_best2(
+            *a))
+        out = fproj(jax.device_put(da), jax.device_put(db),
+                    jax.device_put(uv_a), jax.device_put(r),
+                    jax.device_put(lvl_a), jax.device_put(val_a),
+                    jax.device_put(uv_b), jax.device_put(lvl_b),
+                    jax.device_put(val_b),
+                    jnp.asarray(float(tol), jnp.float32))
+        out = tuple(np.asarray(o) for o in out)
+        ref = numpy_ref(da, db, mask)
+        row_has = mask.any(1)
+        col_has = mask.any(0)
+        ok = (np.array_equal(out[1], ref[1])
+              and np.array_equal(out[2], ref[2])
+              and np.array_equal(out[0][row_has], ref[0][row_has])
+              and np.array_equal(out[3][col_has], ref[3][col_has]))
+        print(f"proj case m={m} n={n}: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            raise SystemExit(1)
+
     # timing: fused kernel alone + full match_descriptors, production size
     m, n = 1200, 1200
     da = jax.device_put(

@@ -88,3 +88,53 @@ class TestAsyncPipeline:
         with pytest.raises(RuntimeError, match="worker exploded"):
             sys_.wait_idle()
         sys_.shutdown()
+
+
+class TestAsyncVio:
+    """VIO frontend over an async-mapping System: the PRV window backend
+    (tracking thread) and the mapper worker interleave through map.lock."""
+
+    def test_vio_with_async_mapping(self):
+        from vieo_slam_tpu.sim.world import make_imu_samples
+        from vieo_slam_tpu.vio.frontend import VioConfig, VioFrontend
+
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        bf = 400.0 * 0.2
+        world = SyntheticWorld(WorldConfig(n_landmarks=4000, seed=3,
+                                           extent=(6.0, 4.5, 3.0)))
+        n_frames = 80
+        ts = np.arange(n_frames) * 0.1
+        Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.25,
+                                               look_outward=True)
+        Rcw, tcw = trajectory_to_tcw(Rwc, twc)
+        t_imu, gyro, acc = make_imu_samples(
+            ts, Rwc.astype(np.float64), v_w, a_w, rate_hz=200.0,
+            bg=np.array([0.01, -0.02, 0.015], np.float32),
+            ba=np.array([0.05, 0.03, -0.04], np.float32),
+            noise_g=1e-4, noise_a=1e-3, seed=5)
+        sys_ = System(cam, bf, SystemConfig(async_mapping=True))
+        vio = VioFrontend(sys_, cfg=VioConfig(init_min_kfs=10,
+                                              init_min_span=3.0))
+        rng = np.random.RandomState(11)
+        imu_i = 0
+        states = []
+        for i in range(n_frames):
+            while imu_i < len(t_imu) and t_imu[imu_i] <= ts[i]:
+                vio.track_odom(t_imu[imu_i], gyro[imu_i], acc[imu_i])
+                imu_i += 1
+            obs = world.observe(
+                Rcw[i], tcw[i], cam, bf=bf, n_kp=500, pixel_noise=0.25,
+                bit_flips=4, clutter=50, rng=rng, max_depth=10.0)
+            frame = make_frame_from_features(
+                obs["uv"], obs["level"], obs["angle"], obs["desc"],
+                obs["valid"], ur=obs["ur"], depth=obs["depth"],
+                timestamp=ts[i])
+            states.append(vio.track_frame(frame))
+        sys_.wait_idle()
+        assert vio.inited
+        assert sum(s.name == "LOST" for s in states) == 0
+        traj = sys_.tracker.trajectory
+        p_est = np.asarray([-(x[1].T @ x[2]) for x in traj])
+        res = ate(np.asarray([x[0] for x in traj]), p_est, ts, twc)
+        assert np.isfinite(res["rmse"]) and res["rmse"] < 0.10, res
+        sys_.shutdown()

@@ -16,7 +16,7 @@ Public entry point: `vieo_slam_tpu.system.System` (equivalent of the
 reference's include/System.h facade).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import jax as _jax
 
@@ -26,3 +26,20 @@ import jax as _jax
 # it explicitly (preferred_element_type / Pallas), so the global default is
 # precision, not speed.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Lazy top-level API (importing the submodules eagerly would pull the
+# whole frontend/backend at `import vieo_slam_tpu`).
+_API = {
+    "System": "system", "SystemConfig": "system", "SensorMode": "system",
+    "VioFrontend": "vio.frontend", "VioConfig": "vio.frontend",
+    "LoopCloser": "backend.loop_closing",
+    "LoopClosingConfig": "backend.loop_closing",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+        mod = importlib.import_module(f".{_API[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
