@@ -168,10 +168,11 @@ class Tracker:
         self._mono_init_frame: Optional[Frame] = None
         # Async-mapping handoff (the reference's bMapUpdated rebase for a
         # mapping thread that finishes while tracking has moved on): the
-        # mapper publishes (Tcw_old_k, Tcw_new_k) of the keyframe it just
-        # corrected; the tracker applies the relative correction
-        # Tcw <- Tcw ∘ Tcw_old_k^-1 ∘ Tcw_new_k at the next frame.
-        self.pending_correction = None
+        # mapper publishes dT = Tcw_old_k^-1 ∘ Tcw_new_k of the keyframe
+        # it just corrected (composed under map.lock if several KFs are
+        # processed between frames); the tracker applies
+        # Tcw <- Tcw ∘ dT at the next frame boundary.
+        self.pending_correction = None   # (dR [3,3], dt [3]) or None
         # trajectory log: (timestamp, Rcw, tcw, state)
         self.trajectory = []
 
@@ -355,17 +356,27 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
+    def push_correction(self, R_old, t_old, R_new, t_new):
+        """Record a map-gauge correction dT = T_old^-1 ∘ T_new from the
+        mapping worker; composes with any not-yet-applied correction
+        (call under map.lock)."""
+        dR = R_old.T @ R_new
+        dt = R_old.T @ (t_new - t_old)
+        if self.pending_correction is not None:
+            # T·dA then ·dB  ==  T·(dA·dB): R = Ra Rb, t = Ra tb + ta
+            Ra, ta = self.pending_correction
+            dR, dt = Ra @ dR, Ra @ dt + ta
+        self.pending_correction = (dR.astype(np.float32),
+                                   dt.astype(np.float32))
+
     def _apply_pending_correction(self):
         corr = self.pending_correction
         if corr is None:
             return
         self.pending_correction = None
-        R_old, t_old, R_new, t_new = corr
-        # Tcw <- Tcw ∘ (Tcw_old_k)^-1 ∘ Tcw_new_k keeps the frame-to-KF
-        # relative pose while adopting the BA-corrected map gauge:
-        # dT = T_old^-1 T_new; R' = R dR, t' = R dt + t.
-        dR = R_old.T @ R_new
-        dt = R_old.T @ (t_new - t_old)
+        dR, dt = corr
+        # Tcw <- Tcw ∘ dT keeps the frame-to-KF relative pose while
+        # adopting the BA-corrected map gauge: R' = R dR, t' = R dt + t.
         R_cur = self.Rcw
         self.Rcw = normalize_rotation_np(R_cur @ dR)
         self.tcw = (R_cur @ dt + self.tcw).astype(np.float32)

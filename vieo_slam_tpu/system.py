@@ -96,10 +96,9 @@ class System:
                     t_old = self.map.kf_tcw[k].copy()
                 self._process_keyframe_stage(k)
                 with self.map.lock:
-                    R_new = self.map.kf_Rcw[k].copy()
-                    t_new = self.map.kf_tcw[k].copy()
-                    self.tracker.pending_correction = (
-                        R_old, t_old, R_new, t_new)
+                    self.tracker.push_correction(
+                        R_old, t_old, self.map.kf_Rcw[k].copy(),
+                        self.map.kf_tcw[k].copy())
             except Exception as e:       # surfaced on the next track call
                 self._worker_error = e
             finally:
