@@ -127,6 +127,11 @@ def main():
             rows.append(r)
             print(f"{sc} run {run}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in r.items()), flush=True)
+            # Drop compiled executables between runs: thousands of live
+            # LLVM JIT programs exhaust the process's mmap regions
+            # (vm.max_map_count) and later compilations die with
+            # "LLVM compilation error: Cannot allocate memory".
+            jax.clear_caches()
         agg = {}
         for k in rows[0]:
             vals = np.asarray([r[k] for r in rows])
