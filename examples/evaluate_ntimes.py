@@ -80,15 +80,21 @@ def run_once(scenario: str, seed: int, n_frames: int):
                     vio.track_encoder(t_enc[enc_i], v_l[enc_i], v_r[enc_i])
                     enc_i += 1
         obs = world.observe(
-            Rcw[i], tcw[i], cam, bf=bf, n_kp=500, pixel_noise=0.25,
-            bit_flips=4, clutter=40, rng=rng, max_depth=10.0)
+            Rcw[i], tcw[i], cam, bf=bf if scenario != "mono" else 0.0,
+            n_kp=500, pixel_noise=0.25, bit_flips=4, clutter=40,
+            rng=rng, max_depth=10.0)
         depth = obs["depth"]
         ur = obs["ur"]
         if scenario == "rgbd":
             ur = np.full_like(ur, -1.0)
-        frame = make_frame_from_features(
-            obs["uv"], obs["level"], obs["angle"], obs["desc"],
-            obs["valid"], ur=ur, depth=depth, timestamp=ts[i])
+        if scenario == "mono":
+            frame = make_frame_from_features(
+                obs["uv"], obs["level"], obs["angle"], obs["desc"],
+                obs["valid"], timestamp=ts[i])
+        else:
+            frame = make_frame_from_features(
+                obs["uv"], obs["level"], obs["angle"], obs["desc"],
+                obs["valid"], ur=ur, depth=depth, timestamp=ts[i])
         if vio is not None:
             vio.track_frame(frame)
         else:
@@ -98,7 +104,10 @@ def run_once(scenario: str, seed: int, n_frames: int):
         m = sys_.map
         kfs = m.keyframe_ids()
         p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
-        return ate(m.kf_timestamp[kfs], p, ts, twc)
+        # mono: similarity (scale-free) alignment, like the reference's
+        # mono evaluation
+        return ate(m.kf_timestamp[kfs], p, ts, twc,
+                   with_scale=(scenario == "mono"))
 
     pre = kf_ate()
     sys_.final_global_ba()
