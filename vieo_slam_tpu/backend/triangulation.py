@@ -13,7 +13,6 @@ matrix per keyframe pair (one jitted program reused for every pair).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -10,7 +10,6 @@ sensor mode, and there is no grid: matchers take the whole keypoint set
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -24,8 +24,6 @@ math, different reduction placement).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -33,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cameras import models as cm
 from ..math import lie
-from ..solvers.lm import huber_cost, huber_weight
+from ..solvers.lm import huber_weight
 from ..solvers.local_ba import BAProblem, _obs_terms
 
 

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from ..cameras import models as cm
-from ..math import lie
 
 
 class MonoInitResult(NamedTuple):

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..cameras import models as cm
-from ..math import lie
 from ..math.navstate import NavState, tcw_from_navstate
 from ..math.preintegration import EncPreint, ImuPreint
 from . import imu_factors

@@ -46,7 +46,7 @@ import numpy as np
 
 from ..cameras import models as cm
 from ..math import lie
-from ..math.navstate import NavState, tcw_from_navstate
+from ..math.navstate import NavState
 from ..math.preintegration import EncPreint, ImuPreint
 from . import imu_factors
 from .lm import huber_cost, huber_weight

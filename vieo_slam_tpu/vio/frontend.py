@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..math import lie
 from ..math.navstate import NavState, navstate_from_tcw, tcw_from_navstate
 from ..math.preintegration import preintegrate_imu, preintegrate_encoder
 from ..native import OdomRing
