@@ -266,8 +266,32 @@ def estimate_mfu(ms_frame: float, n_features: int) -> float:
     return total / (ms_frame * 1e-3) / peak
 
 
+def _arm_watchdog(seconds: float):
+    """The axon relay can hang indefinitely (even jax.devices() blocks,
+    observed r2 2026-08-18 for 6+ h).  If the device doesn't answer
+    within `seconds`, emit a parseable failure line and hard-exit so the
+    driver's bench run records the outage instead of hanging."""
+    import threading
+
+    done = threading.Event()
+
+    def boom():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "frontend_ms_per_frame", "value": -1.0,
+                "unit": "ms", "vs_baseline": 0.0,
+                "error": f"TPU relay unresponsive for {seconds:.0f}s"}),
+                flush=True)
+            os._exit(2)
+
+    threading.Thread(target=boom, daemon=True).start()
+    return done
+
+
 def main():
+    watchdog = _arm_watchdog(240.0)
     force_real_mode()
+    watchdog.set()                 # device answered; disarm
     inputs = stage_inputs()
     rtt = measure_rtt()
     ms_1200 = run_config(1200, rtt, inputs)
