@@ -84,7 +84,7 @@ class TestAsyncPipeline:
             raise RuntimeError("worker exploded")
 
         sys_.mapper.process_keyframe = boom
-        sys_._kf_queue.put(0)             # hand the worker a keyframe
+        sys_._kf_queue.put((0, None))     # hand the worker a keyframe
         with pytest.raises(RuntimeError, match="worker exploded"):
             sys_.wait_idle()
         sys_.shutdown()
@@ -102,7 +102,7 @@ class TestAsyncVio:
         bf = 400.0 * 0.2
         world = SyntheticWorld(WorldConfig(n_landmarks=4000, seed=3,
                                            extent=(6.0, 4.5, 3.0)))
-        n_frames = 80
+        n_frames = 120
         ts = np.arange(n_frames) * 0.1
         Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.25,
                                                look_outward=True)
@@ -113,8 +113,12 @@ class TestAsyncVio:
             ba=np.array([0.05, 0.03, -0.04], np.float32),
             noise_g=1e-4, noise_a=1e-3, seed=5)
         sys_ = System(cam, bf, SystemConfig(async_mapping=True))
+        # init_final_span short enough that the PRV keyframe backend
+        # engages mid-run: its window BA then executes on the mapping
+        # worker as the dispatch post-hook.
         vio = VioFrontend(sys_, cfg=VioConfig(init_min_kfs=10,
-                                              init_min_span=3.0))
+                                              init_min_span=3.0,
+                                              init_final_span=6.0))
         rng = np.random.RandomState(11)
         imu_i = 0
         states = []
@@ -132,6 +136,7 @@ class TestAsyncVio:
             states.append(vio.track_frame(frame))
         sys_.wait_idle()
         assert vio.inited
+        assert vio.final_inited and vio.backend is not None
         assert sum(s.name == "LOST" for s in states) == 0
         traj = sys_.tracker.trajectory
         p_est = np.asarray([-(x[1].T @ x[2]) for x in traj])

@@ -67,6 +67,19 @@ class System:
         self._kf_queue = None
         self._worker = None
         self._worker_error = None
+        # Map-gauge correction listeners: every sink gets
+        # push_correction(R_old, t_old, R_new, t_new) under map.lock when
+        # the worker moves a keyframe (the tracker by default; a VIO
+        # frontend adds itself so its NavState follows the same gauge).
+        self.correction_sinks = [self.tracker]
+        # When True (set by a VIO frontend in async mode), track_frame
+        # records a new keyframe in `deferred_kf` instead of dispatching
+        # it — the frontend finishes its per-frame fusion first, then
+        # calls dispatch_keyframe().  This reproduces the reference's
+        # ordering, where TrackWithIMU runs before the KF reaches the
+        # LocalMapping queue (Tracking.cc:950 state machine).
+        self.defer_kf_dispatch = False
+        self.deferred_kf = None
         if self.cfg.async_mapping:
             self._start_worker()
 
@@ -89,16 +102,22 @@ class System:
             if item is None:
                 self._kf_queue.task_done()
                 return
-            k = item
+            k, post_hook = item
             try:
                 with self.map.lock:
                     R_old = self.map.kf_Rcw[k].copy()
                     t_old = self.map.kf_tcw[k].copy()
                 self._process_keyframe_stage(k)
+                if post_hook is not None:
+                    # e.g. the VIO PRV window BA (the reference replaces
+                    # the vision local BA with it inside the same
+                    # LocalMapping thread, LocalMapping.cc:129-147).
+                    post_hook(k)
                 with self.map.lock:
-                    self.tracker.push_correction(
-                        R_old, t_old, self.map.kf_Rcw[k].copy(),
-                        self.map.kf_tcw[k].copy())
+                    R_new = self.map.kf_Rcw[k].copy()
+                    t_new = self.map.kf_tcw[k].copy()
+                    for sink in self.correction_sinks:
+                        sink.push_correction(R_old, t_old, R_new, t_new)
             except Exception as e:       # surfaced on the next track call
                 self._worker_error = e
             finally:
@@ -150,11 +169,16 @@ class System:
             new_kf = self.tracker.last_new_kf
             if new_kf is not None and not self.cfg.localization_only:
                 metrics.count("keyframes")
-                if self._kf_queue is not None:
+                if self.defer_kf_dispatch:
+                    # A VIO frontend owns dispatch: it stores the fused
+                    # NavState on the KF first, then calls
+                    # dispatch_keyframe().
+                    self.deferred_kf = new_kf
+                elif self._kf_queue is not None:
                     # async: hand the KF to the worker; a full queue
                     # applies back-pressure like the reference's
                     # SetAcceptKeyFrames(false)
-                    self._kf_queue.put(new_kf)
+                    self._kf_queue.put((new_kf, None))
                 else:
                     self._process_keyframe_stage(new_kf)
                     # Local BA may have moved the new KF (and the map):
@@ -165,6 +189,22 @@ class System:
         metrics.set_gauge("map_landmarks", int(self.map.n_landmarks()))
         metrics.count(f"state_{state.name}")
         return state
+
+    def dispatch_keyframe(self, post_hook=None):
+        """Send the deferred keyframe to the backend (worker in async
+        mode, inline otherwise).  `post_hook(k)` runs after local
+        mapping/loop closing of that KF, in the same stage — the slot the
+        reference's LocalMapping thread gives the PRV local BA."""
+        k, self.deferred_kf = self.deferred_kf, None
+        if k is None:
+            return
+        if self._kf_queue is not None:
+            self._kf_queue.put((k, post_hook))
+        else:
+            self._process_keyframe_stage(k)
+            if post_hook is not None:
+                post_hook(k)
+            self.tracker.rebase_to_keyframe(k)
 
     # ------------------------------------------------------------------
 
@@ -229,9 +269,14 @@ class System:
     def reset(self):
         """System::Reset: fresh map, tracker re-initializes."""
         self.wait_idle()
+        self.deferred_kf = None
         self.map = MapState(self.cfg.map)
+        old_tracker = self.tracker
         self.tracker = Tracker(self.cam, self.bf, self.map,
                                self.cfg.tracker)
+        self.correction_sinks = [
+            self.tracker if s is old_tracker else s
+            for s in self.correction_sinks]
         self.mapper = LocalMapper(self.cam, self.bf, self.map,
                                   self.cfg.mapper)
         if self.loop_closer is not None:

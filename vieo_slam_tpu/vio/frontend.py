@@ -129,6 +129,16 @@ class VioFrontend:
         # while it fills.
         self._reloc_frames: Optional[list] = None
         self.reloc_recompute_n = 20
+        # Async-pipeline integration (SystemConfig.async_mapping): the
+        # frontend takes over keyframe dispatch so the fused NavState
+        # lands on the KF before the worker sees it, runs the PRV window
+        # BA as the worker's post-hook, and follows map-gauge corrections
+        # like the tracker does (pending correction applied at the next
+        # frame boundary).
+        self._pending_ns_corr = None     # (dR, dt), guarded by map.lock
+        if system.cfg.async_mapping:
+            system.defer_kf_dispatch = True
+            system.correction_sinks.append(self)
 
     # ------------------------------------------------------------------
 
@@ -194,9 +204,68 @@ class VioFrontend:
 
     # ------------------------------------------------------------------
 
+    def push_correction(self, R_old, t_old, R_new, t_new):
+        """Map-gauge correction from the mapping worker (same convention
+        as Tracker.push_correction; called under map.lock): dT composes
+        on the camera side, applied to the NavState at the next frame."""
+        dR = R_old.T @ R_new
+        dt = R_old.T @ (t_new - t_old)
+        if self._pending_ns_corr is not None:
+            Ra, ta = self._pending_ns_corr
+            dR, dt = Ra @ dR, Ra @ dt + ta
+        self._pending_ns_corr = (dR.astype(np.float32),
+                                 dt.astype(np.float32))
+
+    def _apply_ns_correction(self):
+        """Re-anchor the fused NavState in the worker-corrected map gauge
+        (the reference's bMapUpdated handling in TrackWithIMU: the motion
+        prior re-anchors on the corrected KF, Tracking.cc:983-990)."""
+        with self.sys.map.lock:
+            corr, self._pending_ns_corr = self._pending_ns_corr, None
+        if corr is None or self.ns_last is None:
+            return
+        from ..math.lie import normalize_rotation_np
+
+        dR, dt = corr
+        Rcw, tcw = tcw_from_navstate(
+            self.ns_last, jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+        Rcw, tcw = np.asarray(Rcw), np.asarray(tcw)
+        Rcw2 = normalize_rotation_np(Rcw @ dR)
+        tcw2 = Rcw @ dt + tcw
+        ns2 = navstate_from_tcw(
+            jnp.asarray(Rcw2), jnp.asarray(tcw2),
+            jnp.asarray(self.Rcb), jnp.asarray(self.tcb))
+        # World-frame velocity follows the body-rotation change; biases
+        # are gauge-invariant.
+        W = np.asarray(ns2.R) @ np.asarray(self.ns_last.R).T
+        self.ns_last = self.ns_last._replace(
+            R=ns2.R, p=ns2.p, v=jnp.asarray(W @ np.asarray(self.ns_last.v)))
+        # The prior's linearization point moved: replace it with the
+        # moderate rebase prior rather than carrying a stale Hessian.
+        if self.prior_info is not None:
+            self.prior_info = self._fresh_prior()
+
+    def _backend_worker_step(self, k: int):
+        """Worker post-hook: PRV sliding-window BA for keyframe k (the
+        slot LocalBundleAdjustmentNavStatePRV occupies inside the
+        reference's LocalMapping thread, LocalMapping.cc:129-147).  The
+        worker captures the KF pose delta around this and pushes the
+        gauge correction to the tracker and to this frontend."""
+        self.backend.run_local_ba(k)
+
+    def _dispatch_deferred(self):
+        """Hand the frame's new keyframe (if any) to the mapping worker,
+        now that the fused NavState is stored on it."""
+        if not self.sys.defer_kf_dispatch:
+            return
+        post = self._backend_worker_step \
+            if (self.final_inited and self.backend is not None) else None
+        self.sys.dispatch_keyframe(post_hook=post)
+
     def track_frame(self, frame):
         t = float(frame.timestamp)
         tr = self.sys.tracker
+        self._apply_ns_correction()
         pre = None
         if self.inited and self.last_t is not None:
             pre = self._preintegrate(self.last_t, t, self.cfg.window_cap)
@@ -223,6 +292,7 @@ class VioFrontend:
             # with an encoder the pose comes from wheel odometry).
             self.ns_last = ns_pred
             self.last_t = t
+            self._dispatch_deferred()
             return state
 
         if getattr(tr, "just_relocalized", False):
@@ -253,6 +323,7 @@ class VioFrontend:
                 if len(self._reloc_frames) >= self.reloc_recompute_n:
                     self._recompute_bias_after_reloc()
                 self.last_t = t
+                self._dispatch_deferred()
                 return state
             if self.inited and pre is not None:
                 self._fuse(frame, pre)
@@ -273,14 +344,25 @@ class VioFrontend:
                     # run (or re-run) the VI init solves over ALL KFs —
                     # the reference's 1 s TryInitVIO polling loop
                     # (IMUInitialization.cpp:116-155) collapsed to
-                    # keyframe cadence.
+                    # keyframe cadence.  In async mode mapping of this KF
+                    # dispatches first; _maybe_init drains the worker
+                    # before touching the whole map (the reference's
+                    # stop-LocalMapping handshake around the rescale,
+                    # IMUInitialization.cpp:1413).
+                    self._dispatch_deferred()
                     self._maybe_init()
                 elif self.backend is not None:
                     # PRV sliding-window local BA at keyframe cadence
                     # (LocalMapping's LocalBundleAdjustmentNavStatePRV once
-                    # VINS is initialized, LocalMapping.cc:129-147).
-                    if self.backend.run_local_ba(tr.last_new_kf):
+                    # VINS is initialized, LocalMapping.cc:129-147).  In
+                    # async mode it runs on the worker as the dispatch
+                    # post-hook; gauge corrections come back through
+                    # push_correction instead of the synchronous rebase.
+                    if self.sys.defer_kf_dispatch:
+                        self._dispatch_deferred()
+                    elif self.backend.run_local_ba(tr.last_new_kf):
                         self._rebase_from_kf(tr.last_new_kf)
+        self._dispatch_deferred()
         self.last_t = t
         return state
 
@@ -456,6 +538,10 @@ class VioFrontend:
         ns = self.ns_last
         if ns is None:
             return
+        with m.lock:
+            self._store_kf_navstate_locked(m, ns, k)
+
+    def _store_kf_navstate_locked(self, m, ns, k: int):
         m.kf_Rwb[k] = np.asarray(ns.R)
         m.kf_pwb[k] = np.asarray(ns.p)
         m.kf_vwb[k] = np.asarray(ns.v)
@@ -477,7 +563,17 @@ class VioFrontend:
         span = self.kf_times[-1][1] - self.kf_times[0][1]
         if span < cfg.init_min_span:
             return
+        # Exclusive map access for the init solves + rescale: drain the
+        # mapping worker (the reference stops LocalMapping and takes the
+        # scale-update lock around TryInitVIO's write-back,
+        # IMUInitialization.cpp:1413-1455), then flush pending gauge
+        # corrections so they aren't applied a second time after the
+        # init rewrites poses/NavStates from the map.
+        self.sys.wait_idle()
         m = self.sys.map
+        with m.lock:
+            self.sys.tracker._apply_pending_correction()
+        self._apply_ns_correction()
         kf_ids = [k for k, _ in self.kf_times if m.kf_valid[k]]
         ts = np.asarray([t for k, t in self.kf_times if m.kf_valid[k]],
                         np.float64)
