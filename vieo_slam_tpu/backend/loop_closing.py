@@ -284,9 +284,10 @@ class LoopCloser:
         self.last_loop_kf = k
         self.n_loops_closed += 1
         # fuse the matched duplicates (SearchAndFuse essentials).
-        for a, b in zip(*inl_pairs):
-            if a != b and m.lm_valid[a] and m.lm_valid[b]:
-                m.replace_landmark(int(a), int(b))
+        with m.lock:
+            for a, b in zip(*inl_pairs):
+                if a != b and m.lm_valid[a] and m.lm_valid[b]:
+                    m.replace_landmark(int(a), int(b))
         return True
 
     def _refine_sim3(self, k: int, c: int, S_ck, pair_k, pair_c):
@@ -346,10 +347,37 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _correct_loop(self, k: int, c: int, S_ck):
-        """CorrectLoop: pose-graph over all KFs with the new loop edge."""
+        """CorrectLoop: pose-graph over all KFs with the new loop edge.
+
+        Runs entirely under map.lock (the reference holds
+        Map::mMutexMapUpdate through CorrectLoop's propagation,
+        LoopClosing.cc:535-627) — a loop correction is rare and the
+        pose-graph solve is small, so stalling tracking for its duration
+        is the correct trade against torn pose/landmark state."""
+        with self.map.lock:
+            self._correct_loop_locked(k, c, S_ck)
+
+    def _correct_loop_locked(self, k: int, c: int, S_ck):
         m = self.map
         cfg = self.cfg
-        kfs = m.keyframe_ids()[: cfg.max_pose_graph_kfs]
+        all_kfs = m.keyframe_ids()
+        if len(all_kfs) > cfg.max_pose_graph_kfs:
+            # Hierarchical skeleton (replaces round-2's silent
+            # truncation): optimize a temporally-uniform subsample plus
+            # every loop-edge endpoint; the remaining keyframes re-attach
+            # rigidly to their nearest preceding skeleton KF afterwards,
+            # so every KF and landmark still gets corrected (the
+            # reference solves all KFs — Optimizer.cc:2309 — which a
+            # dense [7K,7K] device solve cannot scale to unboundedly).
+            stride = -(-len(all_kfs) // cfg.max_pose_graph_kfs)
+            keep = set(int(x) for x in all_kfs[::stride])
+            keep.update((int(k), int(c), int(all_kfs[-1])))
+            for (a, b, *_rest) in self.loop_edges:
+                keep.update((int(a), int(b)))
+            kfs = np.asarray(
+                sorted(x for x in keep if m.kf_valid[x]), int)
+        else:
+            kfs = all_kfs
         K = len(kfs)
         local = {int(kf): i for i, kf in enumerate(kfs)}
 
@@ -416,19 +444,64 @@ class LoopCloser:
         t_new = np.asarray(out.t)
         s_new = np.asarray(out.s)
 
-        # correct landmarks with their reference KFs, then write back.
+        # Expand the skeleton solution to EVERY valid keyframe: skeleton
+        # KFs take the solver pose; others re-attach rigidly to their
+        # nearest preceding skeleton KF (T_rel from the old poses).
+        R_all_new = np.zeros((len(all_kfs), 3, 3), np.float32)
+        t_all_new = np.zeros((len(all_kfs), 3), np.float32)
+        s_all_new = np.ones(len(all_kfs), np.float32)
+        all_local = {int(kf): i for i, kf in enumerate(all_kfs)}
+        in_skel = np.asarray([int(kf) in local for kf in all_kfs])
+        skel_rows = np.asarray(
+            [local[int(kf)] for kf in all_kfs[in_skel]], int)
+        R_all_new[in_skel] = R_new[skel_rows]
+        t_all_new[in_skel] = t_new[skel_rows]
+        s_all_new[in_skel] = s_new[skel_rows]
+        if not in_skel.all():
+            # nearest preceding skeleton index per KF (ids are temporal)
+            anchor_pos = np.maximum.accumulate(
+                np.where(in_skel, np.arange(len(all_kfs)), -1))
+            # leading non-skeleton KFs (before the first skeleton one)
+            # anchor forward instead
+            first = int(np.argmax(in_skel))
+            anchor_pos[anchor_pos < 0] = first
+            for i in np.nonzero(~in_skel)[0]:
+                a = int(anchor_pos[i])
+                kf_i, kf_a = int(all_kfs[i]), int(all_kfs[a])
+                R_rel = m.kf_Rcw[kf_i] @ m.kf_Rcw[kf_a].T
+                t_rel = m.kf_tcw[kf_i] - R_rel @ m.kf_tcw[kf_a]
+                # S_new = T_rel ∘ S_anchor_new, T_rel lifted to Sim3 with
+                # s=1 (the reference's g2oSic * mg2oScw product,
+                # LoopClosing.cc:550-560): s inherited from the anchor.
+                R_all_new[i] = R_rel @ R_all_new[a]
+                t_all_new[i] = R_rel @ t_all_new[a] + t_rel
+                s_all_new[i] = s_all_new[a]
+
+        # correct landmarks with their reference KFs (old/new Sim3 of
+        # every KF now known), then write back.
         lm_ids = np.nonzero(m.lm_valid)[0]
         ref = m.lm_ref_kf[lm_ids]
-        ref_local = np.asarray([local.get(int(r), 0) for r in ref],
+        ref_local = np.asarray([all_local.get(int(r), 0) for r in ref],
                                np.int32)
         pw_new = correct_landmarks(
             jnp.asarray(m.lm_pw[lm_ids]), jnp.asarray(ref_local),
-            prob.R, prob.t, prob.s, out.R, out.t, out.s)
+            jnp.asarray(m.kf_Rcw[all_kfs].astype(np.float32)),
+            jnp.asarray(m.kf_tcw[all_kfs].astype(np.float32)),
+            jnp.asarray(np.ones(len(all_kfs), np.float32)),
+            jnp.asarray(R_all_new), jnp.asarray(t_all_new),
+            jnp.asarray(s_all_new))
         m.lm_pw[lm_ids] = np.asarray(pw_new)
         # scale-normalize rotations back onto SE3 for storage.
         from ..math.lie import normalize_rotation_np
 
-        m.kf_Rcw[kfs] = normalize_rotation_np(R_new)
-        m.kf_tcw[kfs] = t_new / np.maximum(s_new[:, None], 1e-9)
+        R_old_cw = m.kf_Rcw[all_kfs].copy()
+        t_old_cw = m.kf_tcw[all_kfs].copy()
+        m.kf_Rcw[all_kfs] = normalize_rotation_np(R_all_new)
+        m.kf_tcw[all_kfs] = t_all_new / np.maximum(
+            s_all_new[:, None], 1e-9)
+        # NavStates follow the same per-KF gauge change (velocities
+        # rotated, body poses moved — CorrectLoop updates NavStates
+        # alongside poses, LoopClosing.cc:535-627).
+        m.apply_gauge_correction(all_kfs, R_old_cw, t_old_cw)
         m.big_change_idx += 1
         m.version += 1
