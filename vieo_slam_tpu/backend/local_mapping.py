@@ -139,6 +139,7 @@ class LocalMapper:
             pw.astype(np.float32), m.kf_desc[k, kp_idx], first_kf=k)
         m.kf_lm_idx[k, kp_idx] = lm_ids
         np.add.at(m.lm_n_obs, lm_ids, 1)
+        m.version += 1
         return lm_ids
 
     def _fuse_into_keyframe(self, k: int):
@@ -172,6 +173,7 @@ class LocalMapper:
         ok = idx >= 0
         m.kf_lm_idx[k, idx[ok]] = lm_ids[ok]
         np.add.at(m.lm_n_obs, lm_ids[ok], 1)
+        m.version += 1
 
     def triangulate_new_landmarks(self, k: int) -> np.ndarray:
         """Two-view triangulation vs covisible neighbours
@@ -211,6 +213,7 @@ class LocalMapper:
             m.kf_lm_idx[k, kp1] = ids
             m.kf_lm_idx[int(n), kp2] = ids
             np.add.at(m.lm_n_obs, ids, 2)
+            m.version += 1
             created.append(ids)
         if not created:
             return np.zeros(0, np.int64)
@@ -297,30 +300,52 @@ class LocalMapper:
             if mm.size:
                 m.kf_lm_idx[obs_kf[mm, oo], obs_kp[mm, oo]] = -1
                 np.add.at(m.lm_n_obs, lm_ids[mm], -1)
+                m.version += 1
 
     # ------------------------------------------------------------------
 
-    def run_global_ba(self, *, stage_iters=(8, 12), distributed=None):
+    def run_global_ba(self, *, stage_iters=(8, 12), distributed=None,
+                      abort=None, correction_sinks=None) -> bool:
         """Full-map BA (GlobalBundleAdjustment, Optimizer.cc:1346): all
         keyframes free except the first (gauge), all landmarks. Invoked
         after loop closing (the reference's GBA thread) and by
         System.final_global_ba.
+
+        Lock discipline mirrors run_local_ba: problem assembly and
+        write-back run under map.lock in short bursts; the device solve —
+        seconds at scale — runs UNLOCKED so tracking/mapping proceed.
+        Keyframes and landmarks created while the solve ran are corrected
+        at write-back by re-anchoring them on their temporal-chain
+        predecessor, the reference's spanning-tree GBA propagation
+        (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:779-824).
+
+        abort: optional threading.Event — the reference's mnFullBAIdx
+        abort protocol (LoopClosing.cc:504-516): checked between solve
+        chunks and before write-back; an aborted GBA discards its result
+        and returns False.
 
         distributed: route through parallel.dist_ba (landmark-sharded
         Schur over the device mesh).  None = auto: engage when more than
         one device exists and the landmark block is large enough that the
         Schur fill dominates the per-iteration psum."""
         m = self.map
-        kfs = m.keyframe_ids()
-        if len(kfs) < 3:
-            return
-        window = kfs[1:]
-        ring = kfs[:1]
-        lm_ids = m.landmarks_in_keyframes(kfs)
-        lm_ids = lm_ids[m.lm_valid[lm_ids]]
-        if lm_ids.size < 10:
-            return
-        prob_np, kf_order, lm_ids = m.build_ba_problem(window, ring, lm_ids)
+
+        def aborted():
+            return abort is not None and abort.is_set()
+
+        with m.lock:
+            kfs = m.keyframe_ids()
+            if len(kfs) < 3:
+                return False
+            window = kfs[1:]
+            ring = kfs[:1]
+            lm_ids = m.landmarks_in_keyframes(kfs)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            if lm_ids.size < 10:
+                return False
+            prob_np, kf_order, lm_ids = m.build_ba_problem(
+                window, ring, lm_ids)
+            snap_next_kf = m._next_kf
         prob = self._pad_problem(prob_np)
         K, M = len(kf_order), len(lm_ids)
         n_dev = len(jax.devices())
@@ -348,19 +373,89 @@ class LocalMapper:
             Rcw, tcw, pw = distributed_ba(
                 prob, self.cam, jnp.asarray(self.bf, jnp.float32), mesh,
                 iters=sum(stage_iters))
-            m.apply_ba_result(
-                kf_order, lm_ids,
-                np.asarray(Rcw)[:K], np.asarray(tcw)[:K],
-                np.asarray(pw)[:M], n_free=len(window))
+            Rcw = np.asarray(Rcw)[:K]
+            tcw = np.asarray(tcw)[:K]
+            pw = np.asarray(pw)[:M]
         else:
-            res = _ba_jit(prob, self.cam, jnp.asarray(self.bf, jnp.float32),
-                          stage_iters=stage_iters)
-            m.apply_ba_result(
-                kf_order, lm_ids,
-                np.asarray(res.Rcw)[:K], np.asarray(res.tcw)[:K],
-                np.asarray(res.pw)[:M], n_free=len(window),
-            )
+            # Chunked solve: one jitted stage per chunk, abort checked in
+            # between (a mid-solve forceStop like g2o's, at stage
+            # granularity).
+            res = None
+            for it in stage_iters:
+                if aborted():
+                    return False
+                res = _ba_jit(prob, self.cam,
+                              jnp.asarray(self.bf, jnp.float32),
+                              stage_iters=(it,))
+                prob = prob._replace(Rcw=res.Rcw, tcw=res.tcw, pw=res.pw)
+            Rcw = np.asarray(res.Rcw)[:K]
+            tcw = np.asarray(res.tcw)[:K]
+            pw = np.asarray(res.pw)[:M]
+        if aborted():
+            return False
+        with m.lock:
+            return self._apply_gba_result(
+                kf_order, lm_ids, Rcw, tcw, pw,
+                n_free=len(window), snap_next_kf=snap_next_kf,
+                correction_sinks=correction_sinks)
+
+    def _apply_gba_result(self, kf_order, lm_ids, Rcw, tcw, pw, *,
+                          n_free: int, snap_next_kf: int,
+                          correction_sinks=None) -> bool:
+        """GBA write-back + propagation to during-solve creations (the
+        reference's spanning-tree propagation of mTcwGBA/mPosGBA to
+        keyframes/landmarks born while GBA ran, LoopClosing.cc:779-862).
+        Caller holds map.lock."""
+        m = self.map
+        R_before = m.kf_Rcw.copy()
+        t_before = m.kf_tcw.copy()
+        if not m.apply_ba_result(kf_order, lm_ids, Rcw, tcw, pw,
+                                 n_free=n_free):
+            return False
+        corrected = set(int(x) for x in kf_order)
+        new_kfs = [int(k) for k in m.keyframe_ids() if k >= snap_next_kf]
+        for k in new_kfs:
+            a = int(m.kf_prev[k])
+            while a >= 0 and a not in corrected:
+                a = int(m.kf_prev[a])
+            if a < 0:
+                continue
+            # Tcw_k relative to the anchor's pre-GBA pose, re-attached to
+            # the anchor's corrected pose (Tchildc = Tchild * Tparent^-1;
+            # mTcwGBA = Tchildc * parent->mTcwGBA).
+            R_rel = m.kf_Rcw[k] @ R_before[a].T
+            t_rel = m.kf_tcw[k] - R_rel @ t_before[a]
+            R_old = m.kf_Rcw[k].copy()
+            t_old = m.kf_tcw[k].copy()
+            from ..math.lie import normalize_rotation_np
+            m.kf_Rcw[k] = normalize_rotation_np(
+                (R_rel @ m.kf_Rcw[a])[None])[0]
+            m.kf_tcw[k] = R_rel @ m.kf_tcw[a] + t_rel
+            m.apply_gauge_correction([k], R_old[None], t_old[None])
+        # Landmarks not in the solved set (created during the solve, or
+        # unobserved by the snapshot) follow their reference keyframe.
+        other = np.setdiff1d(np.nonzero(m.lm_valid)[0], lm_ids)
+        if other.size:
+            ref = m.lm_ref_kf[other]
+            ok = ref >= 0
+            other, ref = other[ok], ref[ok]
+            pc = (np.einsum("kij,kj->ki", R_before[ref], m.lm_pw[other])
+                  + t_before[ref])
+            m.lm_pw[other] = np.einsum(
+                "kji,kj->ki", m.kf_Rcw[ref],
+                pc - m.kf_tcw[ref]).astype(np.float32)
+        # In background mode the tracker's live pose hangs off the newest
+        # keyframe: hand every sink that KF's old->new delta so the next
+        # frame re-anchors in the corrected gauge (the reference's
+        # bMapUpdated handling after GBA).
+        if correction_sinks:
+            last = int(m.keyframe_ids()[-1])
+            for s in correction_sinks:
+                s.push_correction(R_before[last], t_before[last],
+                                  m.kf_Rcw[last].copy(),
+                                  m.kf_tcw[last].copy())
         m.big_change_idx += 1
+        return True
 
     # ------------------------------------------------------------------
 

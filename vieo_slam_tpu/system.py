@@ -80,6 +80,12 @@ class System:
         # LocalMapping queue (Tracking.cc:950 state machine).
         self.defer_kf_dispatch = False
         self.deferred_kf = None
+        # Background GBA slot (async mode): the reference's transient GBA
+        # thread + mnFullBAIdx abort protocol (LoopClosing.cc:720-824).
+        import threading
+        self._gba_lock = threading.Lock()
+        self._gba_thread = None
+        self._gba_abort = None
         if self.cfg.async_mapping:
             self._start_worker()
 
@@ -128,6 +134,10 @@ class System:
         reference's CheckFinish/RequestStop handshake before save/GBA)."""
         if self._kf_queue is not None:
             self._kf_queue.join()
+        with self._gba_lock:
+            t = self._gba_thread
+        if t is not None:
+            t.join()
         if self._worker_error is not None:
             err, self._worker_error = self._worker_error, None
             raise err
@@ -143,10 +153,47 @@ class System:
             if closed:
                 # Loop closed: grind the pose-graph solution down with a
                 # global BA (the reference's GBA thread,
-                # LoopClosing::RunGlobalBundleAdjustment).
+                # LoopClosing::RunGlobalBundleAdjustment).  Async mode
+                # runs it as an abortable background task so the mapping
+                # worker keeps draining keyframes; sync mode inline.
                 metrics.count("loops_closed")
-                with metrics.timer("gba"):
-                    self.mapper.run_global_ba()
+                if self._kf_queue is not None:
+                    self._request_gba()
+                else:
+                    with metrics.timer("gba"):
+                        self.mapper.run_global_ba()
+
+    def _request_gba(self):
+        """Launch (or supersede) the background GBA.  A newer request
+        aborts the in-flight solve — the reference bumps mnFullBAIdx and
+        sets mbStopGBA (LoopClosing.cc:504-516); the aborted run discards
+        its result and the fresh one sees the newer map."""
+        import threading
+        with self._gba_lock:
+            if self._gba_abort is not None:
+                self._gba_abort.set()
+            abort = threading.Event()
+            prev = self._gba_thread
+            t = threading.Thread(target=self._gba_worker,
+                                 args=(prev, abort), name="gba",
+                                 daemon=True)
+            self._gba_abort = abort
+            self._gba_thread = t
+            t.start()
+
+    def _gba_worker(self, prev, abort):
+        try:
+            if prev is not None:
+                prev.join()
+            if abort.is_set():
+                return
+            with metrics.timer("gba"):
+                ok = self.mapper.run_global_ba(
+                    abort=abort, correction_sinks=self.correction_sinks)
+            if not ok:
+                metrics.count("gba_aborted")
+        except Exception as e:    # surfaced on the next track call
+            self._worker_error = e
 
     def track_frame(self, frame: Frame) -> TrackState:
         """Track one pre-built Frame (feature-level entry; image-level
