@@ -189,3 +189,101 @@ def pose_optimization(
         Rcw=pose[0], tcw=pose[1], inliers=inliers,
         n_inliers=jnp.sum(inliers.astype(jnp.int32)), H=H,
     )
+
+
+def pose_optimization_with_prior(
+    Rcw0: jax.Array,
+    tcw0: jax.Array,
+    obs: PoseObs,
+    cam: cm.Camera,
+    bf: jax.Array | float,
+    R_prior: jax.Array,
+    t_prior: jax.Array,
+    prior_info: jax.Array,
+    *,
+    rounds: int = 2,
+    iters_per_round: int = 4,
+    mode: str = "lm",
+) -> PoseOptResult:
+    """Vision motion BA plus a 6D SE3 prior on the camera pose.
+
+    The encoder-only (VEO) motion solve: with the last pose held fixed,
+    the preintegrated wheel-odometry delta (EdgeEncNavState,
+    src/Odom/g2otypes.h:590, used by PoseOptimization when
+    mode==ENCODER) predicts T_prior for the current camera with
+    information `prior_info` [6, 6] in the left-multiplicative tangent of
+    Tcw, ordered [rho, phi].  The prior residual
+    r = log(Tcw ∘ T_prior⁻¹) enters every LM system with Jacobian ≈ I
+    (exact to first order), so the wheel odometry pulls the solve exactly
+    the way the reference's encoder edge does — and carries it entirely
+    through visual degradation (few inliers → vision terms underdetermine
+    the pose; the prior keeps it bounded).
+    """
+    bf = jnp.asarray(bf, tcw0.dtype)
+
+    def prior_terms(pose):
+        R, t = pose
+        Rd = R @ R_prior.T
+        td = t - Rd @ t_prior
+        r6 = lie.se3_log(Rd, td)                      # [6] = [rho, phi]
+        cost = r6 @ prior_info @ r6
+        return r6, cost
+
+    def chi2_of(pose, active):
+        R, t = pose
+        r, _, stereo, depth_ok = _residuals(R, t, obs, cam, bf)
+        chi2 = _chi2(r, obs.inv_sigma2, stereo)
+        delta2 = jnp.where(stereo, CHI2_STEREO,
+                           CHI2_MONO).astype(chi2.dtype)
+        return chi2, delta2, depth_ok
+
+    def make_fns(active):
+        w_active = (active & obs.valid).astype(tcw0.dtype)
+
+        def system_fn(pose):
+            R, t = pose
+            r, J, stereo, depth_ok = _residuals(R, t, obs, cam, bf)
+            chi2 = _chi2(r, obs.inv_sigma2, stereo)
+            delta2 = jnp.where(stereo, CHI2_STEREO,
+                               CHI2_MONO).astype(chi2.dtype)
+            w = (huber_weight(chi2, delta2) * obs.inv_sigma2
+                 * w_active * depth_ok)
+            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+            b = -jnp.einsum("nri,n,nr->i", J, w, r)
+            r6, pcost = prior_terms(pose)
+            H = H + prior_info
+            b = b - prior_info @ r6
+            cost = _robust_cost(chi2, delta2, w_active, depth_ok) + pcost
+            return H, b, cost
+
+        def cost_fn(pose):
+            chi2, delta2, depth_ok = chi2_of(pose, active)
+            _, pcost = prior_terms(pose)
+            return _robust_cost(chi2, delta2, w_active, depth_ok) + pcost
+
+        return system_fn, cost_fn
+
+    def retract(pose, dx):
+        R, t = pose
+        dR, dt = lie.se3_exp(dx)
+        return dR @ R, dR @ t + dt
+
+    pose = (Rcw0, tcw0)
+    active = jnp.ones_like(obs.valid)
+    H = jnp.zeros((6, 6), tcw0.dtype)
+    for _ in range(rounds):
+        system_fn, cost_fn = make_fns(active)
+        if mode == "plm":
+            pose, _, H = lm_solve_parallel(system_fn, cost_fn, retract,
+                                           pose, iters=iters_per_round)
+        else:
+            pose, _, H = lm_solve(system_fn, cost_fn, retract, pose,
+                                  iters=iters_per_round)
+        chi2, delta2, depth_ok = chi2_of(pose, active)
+        active = (chi2 <= delta2) & depth_ok
+
+    inliers = active & obs.valid
+    return PoseOptResult(
+        Rcw=pose[0], tcw=pose[1], inliers=inliers,
+        n_inliers=jnp.sum(inliers.astype(jnp.int32)), H=H,
+    )

@@ -599,8 +599,7 @@ class VioFrontend:
             mask_w[i] = mask
         out = try_init_vio(
             jnp.asarray(ts.astype(np.float32)),
-            jnp.asarray(R_wc @ np.linalg.inv(self.Rcb)
-                        if False else R_wc),  # Rwc; Rcb applied inside
+            jnp.asarray(R_wc),  # Rwc; Rcb applied inside try_init_vio
             jnp.asarray(p_wc.astype(np.float32)),
             jnp.asarray(self.Rcb), jnp.asarray(self.tcb),
             jnp.asarray(gyro_w), jnp.asarray(acc_w), jnp.asarray(dt_w),
