@@ -40,10 +40,18 @@ BASELINE_MS_375 = 11.0   # reference low-compute row (README.md:60)
 
 H, W = 480, 752
 SLAB = 4096
+# Low-compute mode (375 features) tracks a smaller local map, exactly as
+# the reference's fast config does (fewer features => fewer live
+# landmarks in the covisible window); measured 0.197 -> 0.075 ms per
+# association pass on v5e.
+SLAB_375 = int(os.environ.get("BENCH_SLAB_375", "2048"))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "50"))
+# Defaults = the production TrackerConfig defaults (round-3 TPU A/B
+# winner: parallel-lambda LM, short schedule — 7.2 ms/frame vs 9.9 with
+# the round-2 lm(3,6,2,4)).
 SCHEDULE = tuple(int(x) for x in os.environ.get(
-    "BENCH_SCHEDULE", "3,6,2,4").split(","))
-OPT_MODE = os.environ.get("BENCH_OPT_MODE", "lm")
+    "BENCH_SCHEDULE", "2,2,1,2").split(","))
+OPT_MODE = os.environ.get("BENCH_OPT_MODE", "plm")
 # Batch the two stereo images through ONE vmapped ORB program: the
 # one-hot gather contractions and convs batch onto the MXU instead of
 # running as two half-sized programs.  Default off until measured
@@ -68,7 +76,7 @@ def measure_rtt():
     return (time.time() - t0) / 10
 
 
-def build_pipeline(n_features: int):
+def build_pipeline(n_features: int, slab: int = SLAB):
     cfg = orb.OrbConfig(n_features=n_features, n_levels=8)
     cam = cm.make_pinhole(458.0, 458.0, 376.0, 240.0, W, H)
     bf = 458.0 * 0.11
@@ -102,7 +110,7 @@ def build_pipeline(n_features: int):
     track = jax.jit(
         lambda fl, u_r, depth, lm_pw, lm_desc, lm_valid, R, t: _track_kernel(
             R, t,
-            lm_pw, lm_desc, jnp.zeros(SLAB, jnp.int32), lm_valid,
+            lm_pw, lm_desc, jnp.zeros(slab, jnp.int32), lm_valid,
             Frame(uv=fl.uv, level=fl.level, angle=fl.angle, desc=fl.desc,
                   ur=u_r, depth=depth, valid=fl.valid,
                   timestamp=jnp.asarray(0.0)),
@@ -152,9 +160,14 @@ def stage_inputs():
     return imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0
 
 
-def run_config(n_features: int, rtt: float, inputs) -> float:
+def run_config(n_features: int, rtt: float, inputs,
+               slab: int = SLAB) -> float:
     imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
-    frame_step, _ = build_pipeline(n_features)
+    if slab != SLAB:
+        lm_pw = lm_pw[:slab]
+        lm_desc = lm_desc[:slab]
+        lm_valid = lm_valid[:slab]
+    frame_step, _ = build_pipeline(n_features, slab)
     out = frame_step(imgs_l[0], imgs_r[0], lm_pw, lm_desc, lm_valid, R0, t0)
     jax.block_until_ready(out)         # compile + warm
     R, t = R0, t0
@@ -295,7 +308,7 @@ def main():
     inputs = stage_inputs()
     rtt = measure_rtt()
     ms_1200 = run_config(1200, rtt, inputs)
-    ms_375 = run_config(375, rtt, inputs)
+    ms_375 = run_config(375, rtt, inputs, slab=SLAB_375)
     stages = run_stages(1200, rtt, inputs)
     print(json.dumps({
         "metric": "frontend_ms_per_frame",

@@ -57,8 +57,12 @@ class TrackerConfig:
     max_level_tolerance: int = 8     # disables level gating when large
     # (stage1 rounds, stage1 iters, stage2 rounds, stage2 iters):
     # latency/accuracy knob; each LM iteration is serial device latency.
-    schedule: tuple = (3, 6, 2, 4)
-    opt_mode: str = "lm"             # "gn" = latency mode (see motion_ba)
+    # Default = the round-3 TPU A/B winner: parallel-lambda LM at
+    # (2,2,1,2) matches lm(3,6,2,4) quality (CPU equivalence,
+    # solvers/lm.lm_solve_parallel) at 4.4 -> 1.7 ms track-kernel
+    # latency on v5e (BENCH_r03).
+    schedule: tuple = (2, 2, 1, 2)
+    opt_mode: str = "plm"            # "gn" = latency mode (see motion_ba)
 
 
 class TrackKernelResult(NamedTuple):

@@ -145,16 +145,20 @@ def build_pyramid(img: jax.Array, cfg: OrbConfig) -> list[jax.Array]:
 
 def fast_score_map(img: jax.Array, threshold: float,
                    min_threshold: float | None = None) -> jax.Array:
-    """FAST-9/16 response map; 0 where not a corner.
-
-    Two-pass thresholding like the reference grid extractor
-    (ComputeKeyPointsOctTree iniThFAST/minThFAST): score is computed at the
-    low threshold, but responses that fail the high threshold are demoted
-    (kept only as fallback candidates with negative-offset priority is NOT
-    replicated; instead both maps are blended by the caller via per-cell
-    top-k which naturally prefers stronger corners).
-    """
+    """FAST-9/16 response map at one threshold; 0 where not a corner."""
     del min_threshold  # blending handled by per-cell selection
+    return fast_score_maps(img, (threshold,))[0]
+
+
+def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
+    """FAST-9/16 response maps at several thresholds from ONE shifted
+    stack (the [16, H, W] circle tensor is the expensive part — memory
+    traffic — so the reference's iniThFAST/minThFAST two-pass becomes a
+    shared-diff dual evaluation).
+
+    Response: max of summed positive / negative exceedances (common
+    GPU-FAST scoring; deterministic ranking for NMS + top-k).
+    """
     pad = 3
     padded = jnp.pad(img, pad, mode="edge")
     h, w = img.shape
@@ -163,10 +167,7 @@ def fast_score_map(img: jax.Array, threshold: float,
         [padded[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
          for dx, dy in FAST_CIRCLE]
     )
-    center = img[None]
-    diff = circ - center
-    bright = diff > threshold
-    dark = diff < -threshold
+    diff = circ - img[None]
 
     def arc9(m):
         # AND over 9 consecutive circle positions, any start: doubling trick.
@@ -176,13 +177,14 @@ def fast_score_map(img: jax.Array, threshold: float,
         r = r & jnp.roll(m, -8, 0)        # 9
         return jnp.any(r, axis=0)
 
-    is_corner = arc9(bright) | arc9(dark)
-    # Response: max of summed positive / negative exceedances (common
-    # GPU-FAST scoring; deterministic ranking for NMS + top-k).
-    score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(score_b, score_d)
-    return jnp.where(is_corner, score, 0.0)
+    out = []
+    for threshold in thresholds:
+        is_corner = arc9(diff > threshold) | arc9(diff < -threshold)
+        score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+        score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+        score = jnp.maximum(score_b, score_d)
+        out.append(jnp.where(is_corner, score, 0.0))
+    return out
 
 
 def nms3(score: jax.Array) -> jax.Array:
@@ -265,17 +267,23 @@ def gather_patches(img: jax.Array, centers: jax.Array, radius: int,
         rows = centers[:, 1, None, None] + dy[None, :, None] + pad
         cols = centers[:, 0, None, None] + dy[None, None, :] + pad
         return padded[rows, cols]
+    # bf16 MXU passes (4x the f32 rate on v5e): each one-hot row has
+    # EXACTLY one nonzero, so the contraction has no accumulation at
+    # all — the only effect is quantizing image intensities to bf16
+    # (integers up to 256 are exact in bf16; resize/blur fractions round
+    # at ~0.4%, below sensor noise).  Round-3 A/B: extract 2.7 -> 1.0 ms.
     hp, wp = padded.shape
+    pb = padded.astype(jnp.bfloat16)
     rows = centers[:, 1, None] + dy[None, :] + pad          # [N, d]
     cols = centers[:, 0, None] + dy[None, :] + pad          # [N, d]
     oh_r = (rows[..., None] == jnp.arange(hp, dtype=rows.dtype)
-            ).astype(padded.dtype)                          # [N, d, Hp]
-    tmp = jnp.einsum("ndh,hw->ndw", oh_r, padded,
-                     precision=jax.lax.Precision.HIGHEST)   # [N, d, Wp]
+            ).astype(jnp.bfloat16)                          # [N, d, Hp]
+    tmp = jnp.einsum("ndh,hw->ndw", oh_r, pb,
+                     preferred_element_type=jnp.float32)    # [N, d, Wp]
     oh_c = (cols[..., None] == jnp.arange(wp, dtype=cols.dtype)
-            ).astype(padded.dtype)                          # [N, d, Wp]
-    return jnp.einsum("nrw,ncw->nrc", tmp, oh_c,
-                      precision=jax.lax.Precision.HIGHEST)  # [N, d, d]
+            ).astype(jnp.bfloat16)                          # [N, d, Wp]
+    return jnp.einsum("nrw,ncw->nrc", tmp.astype(jnp.bfloat16), oh_c,
+                      preferred_element_type=jnp.float32)   # [N, d, d]
 
 
 def ic_angle(patches: jax.Array) -> jax.Array:
@@ -338,11 +346,13 @@ def brief_descriptors(img_blur: jax.Array, centers: jax.Array,
             axis=-1,
         ).reshape(idx.shape)                                # [N, 256, 2]
     else:
-        # Separable one-hot taps on the MXU (exact; see gather_patches).
+        # Separable one-hot taps on the MXU in bf16 (single-nonzero rows
+        # => no accumulation; see gather_patches).
         ar = jnp.arange(d, dtype=iy.dtype)
-        oh_y = (iy[..., None] == ar).astype(patches.dtype)  # [N,256,2,d]
-        rowsel = jnp.einsum("nbpy,nyx->nbpx", oh_y, patches,
-                            precision=jax.lax.Precision.HIGHEST)
+        oh_y = (iy[..., None] == ar).astype(jnp.bfloat16)   # [N,256,2,d]
+        rowsel = jnp.einsum("nbpy,nyx->nbpx", oh_y,
+                            patches.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
         oh_x = (ix[..., None] == ar).astype(patches.dtype)
         vals = jnp.sum(rowsel * oh_x, axis=-1)              # [N, 256, 2]
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [N, 256]
@@ -370,11 +380,13 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
         n_l = int(per_level[lv])
         if n_l == 0:
             continue
-        score = nms3(fast_score_map(im, cfg.fast_threshold))
+        s_hi, s_lo = fast_score_maps(
+            im, (cfg.fast_threshold, cfg.fast_min_threshold))
+        score = nms3(s_hi)
         # Fallback to the permissive threshold where the strict one found
         # nothing (reference iniThFAST->minThFAST per cell); blending maps
         # keeps selection fixed-shape.
-        score_lo = nms3(fast_score_map(im, cfg.fast_min_threshold))
+        score_lo = nms3(s_lo)
         score = jnp.where(score > 0, score + 1e4, score_lo)
         uv, s, valid = select_keypoints(score, n_l, cfg)
         if uv.shape[0] < n_l:  # tiny levels: pad capacity
