@@ -91,11 +91,34 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
 
     Wc = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jl)
     Y = Wc @ V_inv[:, None]
-    S_pairs = jnp.einsum("moik,mpjk->mopij", Y, Wc)
     kf_i = jnp.clip(prob.obs_kf, 0)
-    pair_idx = (kf_i[:, :, None] * K + kf_i[:, None, :]).reshape(-1)
-    S = jax.ops.segment_sum(S_pairs.reshape(-1, 6, 6), pair_idx,
-                            num_segments=K * K).reshape(K, K, 6, 6)
+    # Pair-fill in landmark chunks: the [M, O, O, 6, 6] pair tensor at
+    # M = 65k is ~0.6 GB per live temp and OOMed the 16 GB v5e when one
+    # chip holds the whole shard (round-3 TPU scaling run); a scan over
+    # fixed-size chunks keeps peak memory flat in M while the psum'd
+    # result is unchanged.
+    Ms, O = kf_i.shape
+    chunk = min(8192, Ms)
+    n_ch = -(-Ms // chunk)
+    padM = n_ch * chunk - Ms
+    Yp = jnp.pad(Y, ((0, padM), (0, 0), (0, 0), (0, 0)))
+    Wp_ = jnp.pad(Wc, ((0, padM), (0, 0), (0, 0), (0, 0)))
+    kfp = jnp.pad(kf_i, ((0, padM), (0, 0)))
+    Yr = Yp.reshape(n_ch, chunk, O, 6, 3)
+    Wr = Wp_.reshape(n_ch, chunk, O, 6, 3)
+    kfr = kfp.reshape(n_ch, chunk, O)
+
+    def s_chunk(S_acc, args):
+        Yc, Wcc, kfc = args
+        Sp = jnp.einsum("moik,mpjk->mopij", Yc, Wcc)
+        pidx = (kfc[:, :, None] * K + kfc[:, None, :]).reshape(-1)
+        return S_acc + jax.ops.segment_sum(
+            Sp.reshape(-1, 6, 6), pidx, num_segments=K * K), None
+
+    # the carry is shard-local (varying over the mesh axis)
+    S0 = jax.lax.pvary(jnp.zeros((K * K, 6, 6), Y.dtype), (axis,))
+    S, _ = jax.lax.scan(s_chunk, S0, (Yr, Wr, kfr))
+    S = S.reshape(K, K, 6, 6)
     Yb = jnp.einsum("moij,mj->moi", Y, bl)
     rhs = bp - jax.ops.segment_sum(Yb.reshape(-1, 6), kf_flat,
                                    num_segments=K)
