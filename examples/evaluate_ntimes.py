@@ -1,5 +1,5 @@
-"""N-run ATE evaluation harness over the synthetic scenario matrix — the
-equivalent of the reference's headline benchmark pipeline
+"""N-run IMAGE-LEVEL ATE evaluation harness over the scenario matrix —
+the equivalent of the reference's headline benchmark pipeline
 (Examples/RunEuRoC/EvaluateEuRoC_Ntimes.sh -> RunEuRoCVIO.sh ->
 EvaluateEuRoC_Evaluate.sh -> printResultATE.sh gawk aggregation,
 SURVEY.md §4.1): run each sensor configuration N times with different
@@ -7,7 +7,15 @@ noise seeds, record ATE rmse/max both WITH and WITHOUT the final global
 BA (the reference's dual-output A/B, stereo_euroc.cc:346-360), and print
 an avg/median table.
 
-Run: PYTHONPATH=. python examples/evaluate_ntimes.py [--n 3] [--frames 120]
+EVERY scenario runs pixels -> ORB -> matching -> tracking (no
+feature-level shortcuts): the renderer stamps per-landmark texture
+patches and is hardened with photometric noise, brightness drift, depth
+outliers (RGB-D), and dynamic landmarks, so the full perception stack is
+under test — the "ORB exactness vs ATE" risk SURVEY §7 flags.
+
+Scenarios: stereo | rgbd | mono | stereo_vio | vieo | veo | multicam_kb8
+
+Run: PYTHONPATH=. python examples/evaluate_ntimes.py [--n 3] [--frames 60]
 """
 
 import argparse
@@ -15,33 +23,70 @@ import json
 
 import numpy as np
 
+# Photometric hardening applied to every rendered frame.
+NOISE_SIGMA = 2.0
+DYNAMIC_FRAC = 0.02
+DEPTH_OUTLIER_FRAC = 0.07
+
+
+def _gain_bias(t):
+    """Slow brightness drift (exposure wander on real cameras)."""
+    return 1.0 + 0.10 * np.sin(0.5 * t), 8.0 * np.sin(0.3 * t)
+
 
 def run_once(scenario: str, seed: int, n_frames: int):
+    import jax
+    import jax.numpy as jnp
+
     from vieo_slam_tpu.backend.loop_closing import (
         LoopCloser, LoopClosingConfig)
     from vieo_slam_tpu.cameras import models as cm
-    from vieo_slam_tpu.frontend.frame import make_frame_from_features
+    from vieo_slam_tpu.frontend.frame import (
+        build_mono_frame, build_multicam_frame, build_rgbd_frame,
+        build_stereo_frame)
+    from vieo_slam_tpu.frontend.tracking import TrackerConfig
     from vieo_slam_tpu.io.evaluate import ate
+    from vieo_slam_tpu.ops import orb
     from vieo_slam_tpu.sim.world import (
         SyntheticWorld, WorldConfig, circle_trajectory,
         make_encoder_samples, make_imu_samples, trajectory_to_tcw)
     from vieo_slam_tpu.system import System, SystemConfig
+    from vieo_slam_tpu.vio.encoder_frontend import (
+        EncoderConfig, EncoderFrontend)
     from vieo_slam_tpu.vio.frontend import VioConfig, VioFrontend
 
-    cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
-    bf = 400.0 * 0.2
-    world = SyntheticWorld(WorldConfig(n_landmarks=5000, seed=4,
-                                       extent=(6.0, 4.5, 3.0)))
+    BASELINE = 0.2
+    fx = 400.0
+    cam = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
+    bf = fx * BASELINE
+    world = SyntheticWorld(WorldConfig(
+        n_landmarks=2200, seed=4, extent=(6.0, 4.5, 3.0),
+        dynamic_frac=DYNAMIC_FRAC))
     ts = np.arange(n_frames) * 0.1
     Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.35,
                                            look_outward=True)
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
+    ocfg = orb.OrbConfig(n_features=600, n_levels=4)
+    rng = np.random.RandomState(seed)
 
-    sys_ = System(cam, bf, SystemConfig())
+    # KB8 rig (multicam scenario)
+    if scenario == "multicam_kb8":
+        KB8_DIST = [0.02, 0.002, -0.001, 0.0005]
+        cam0 = cm.make_kb8(300.0, 300.0, 320.0, 240.0, KB8_DIST, 640, 480)
+        cam1 = cm.make_kb8(300.0, 300.0, 320.0, 240.0, KB8_DIST, 640, 480,
+                           Rcr=np.eye(3, dtype=np.float32),
+                           tcr=np.asarray([-0.11, 0, 0], np.float32))
+        geom = cm.make_pinhole(300.0, 300.0, 320.0, 240.0, 640, 480)
+        cam, bf = geom, 300.0 * 0.11
+
+    # Octaves are physical at image level: predicted-scale search radii on.
+    scfg = SystemConfig(tracker=TrackerConfig(use_predicted_scale=True))
+    sys_ = System(cam, bf, scfg)
     sys_.loop_closer = LoopCloser(cam, bf, sys_.map,
                                   LoopClosingConfig(min_kf_gap=8))
     vio = None
-    enc = None
+    veo = None
+    enc = imu = None
     if scenario in ("stereo_vio", "vieo"):
         bg = np.array([0.01, -0.02, 0.015], np.float32)
         ba = np.array([0.05, 0.03, -0.04], np.float32)
@@ -65,40 +110,80 @@ def run_once(scenario: str, seed: int, n_frames: int):
             enc = (t_enc, v_l, v_r)
         vio = VioFrontend(sys_, cfg=cfg)
         imu = (t_imu, gyro, acc)
+    elif scenario == "veo":
+        x_e = Rwc[0].T @ (v_w[0] / np.linalg.norm(v_w[0]))
+        z_e = Rwc[0].T @ np.array([0.0, 0.0, 1.0])
+        y_e = np.cross(z_e, x_e)
+        Rbe = np.stack([x_e, y_e, z_e], axis=-1).astype(np.float64)
+        veo = EncoderFrontend(sys_, cfg=EncoderConfig(
+            enc_half_track=0.28, enc_sigma_v=5e-3,
+            enc_Rbe=Rbe, enc_tbe=np.zeros(3)))
+        t_enc, v_l, v_r = make_encoder_samples(
+            ts, Rwc.astype(np.float64), twc.astype(np.float64),
+            Rbe, np.zeros(3), rate_hz=100.0, half_track=0.28,
+            noise_v=2e-3, seed=seed + 200)
+        enc = (t_enc, v_l, v_r)
 
-    rng = np.random.RandomState(seed)
+    # jitted frame builders (compile once per scenario)
+    if scenario in ("stereo", "stereo_vio", "vieo", "veo"):
+        build = jax.jit(lambda l, r, t: build_stereo_frame(
+            l, r, ocfg, bf=bf, min_depth=0.3, max_depth=15.0, timestamp=t))
+    elif scenario == "rgbd":
+        build = jax.jit(lambda im, d, t: build_rgbd_frame(
+            im, d, ocfg, bf=bf, timestamp=t))
+    elif scenario == "mono":
+        build = jax.jit(lambda im, t: build_mono_frame(
+            im, ocfg, timestamp=t))
+    elif scenario == "multicam_kb8":
+        build = jax.jit(lambda a, b, t: build_multicam_frame(
+            [a, b], [cam0, cam1], ocfg, geom_cam=geom,
+            virt_bf=bf, max_depth=15.0, timestamp=t))
+
     imu_i = enc_i = 0
     for i in range(n_frames):
+        t = float(ts[i])
         if vio is not None:
             t_imu, gyro, acc = imu
-            while imu_i < len(t_imu) and t_imu[imu_i] <= ts[i]:
+            while imu_i < len(t_imu) and t_imu[imu_i] <= t:
                 vio.track_odom(t_imu[imu_i], gyro[imu_i], acc[imu_i])
                 imu_i += 1
-            if enc is not None:
-                t_enc, v_l, v_r = enc
-                while enc_i < len(t_enc) and t_enc[enc_i] <= ts[i]:
-                    vio.track_encoder(t_enc[enc_i], v_l[enc_i], v_r[enc_i])
-                    enc_i += 1
-        obs = world.observe(
-            Rcw[i], tcw[i], cam, bf=bf if scenario != "mono" else 0.0,
-            n_kp=500, pixel_noise=0.25, bit_flips=4, clutter=40,
-            rng=rng, max_depth=10.0)
-        depth = obs["depth"]
-        ur = obs["ur"]
-        if scenario == "rgbd":
-            ur = np.full_like(ur, -1.0)
-        if scenario == "mono":
-            frame = make_frame_from_features(
-                obs["uv"], obs["level"], obs["angle"], obs["desc"],
-                obs["valid"], timestamp=ts[i])
-        else:
-            frame = make_frame_from_features(
-                obs["uv"], obs["level"], obs["angle"], obs["desc"],
-                obs["valid"], ur=ur, depth=depth, timestamp=ts[i])
+        if enc is not None:
+            tgt = vio if vio is not None else veo
+            t_enc, v_l, v_r = enc
+            while enc_i < len(t_enc) and t_enc[enc_i] <= t:
+                tgt.track_encoder(t_enc[enc_i], v_l[enc_i], v_r[enc_i])
+                enc_i += 1
+        g, b = _gain_bias(t)
+        hard = dict(t=t, noise_sigma=NOISE_SIGMA, gain=g, bias=b, rng=rng)
+        if scenario in ("stereo", "stereo_vio", "vieo", "veo"):
+            img_l, img_r = world.render_stereo(
+                cam, Rcw[i], tcw[i], BASELINE, **hard)
+            frame = build(jnp.asarray(img_l), jnp.asarray(img_r),
+                          jnp.asarray(t, jnp.float64))
+        elif scenario == "rgbd":
+            img, dm = world.render_view(
+                cam, Rcw[i], tcw[i], return_depth=True,
+                depth_outlier_frac=DEPTH_OUTLIER_FRAC, **hard)
+            frame = build(jnp.asarray(img), jnp.asarray(dm),
+                          jnp.asarray(t, jnp.float64))
+        elif scenario == "mono":
+            img = world.render_view(cam, Rcw[i], tcw[i], **hard)
+            frame = build(jnp.asarray(img), jnp.asarray(t, jnp.float64))
+        elif scenario == "multicam_kb8":
+            img0 = world.render_view(cam0, Rcw[i], tcw[i], **hard)
+            R1 = cam1.Rcr @ Rcw[i]
+            t1 = cam1.Rcr @ tcw[i] + cam1.tcr
+            img1 = world.render_view(cam1, R1, t1, **hard)
+            frame = build(jnp.asarray(img0), jnp.asarray(img1),
+                          jnp.asarray(t, jnp.float64))
         if vio is not None:
             vio.track_frame(frame)
+        elif veo is not None:
+            veo.track_frame(frame)
         else:
             sys_.track_frame(frame)
+
+    from vieo_slam_tpu.io.evaluate import ate  # noqa: F811
 
     def kf_ate():
         m = sys_.map
@@ -116,12 +201,15 @@ def run_once(scenario: str, seed: int, n_frames: int):
             "rmse_fullBA": post["rmse"], "max_fullBA": post["max"]}
 
 
+ALL = "stereo,rgbd,mono,stereo_vio,vieo,veo,multicam_kb8"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3)
-    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--tpu", action="store_true")
-    ap.add_argument("--scenarios", default="stereo,rgbd,stereo_vio,vieo")
+    ap.add_argument("--scenarios", default=ALL)
     args = ap.parse_args()
 
     import jax
@@ -141,7 +229,7 @@ def main():
             # (vm.max_map_count) and later compilations die with
             # "LLVM compilation error: Cannot allocate memory".
             jax.clear_caches()
-        agg = {}
+        agg = {"image_level": True}
         for k in rows[0]:
             vals = np.asarray([r[k] for r in rows])
             agg[f"avg_{k}"] = round(float(vals.mean()), 4)

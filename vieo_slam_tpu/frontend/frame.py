@@ -97,6 +97,26 @@ def build_stereo_frame(
     )
 
 
+def build_mono_frame(
+    img: jax.Array,
+    cfg: orb.OrbConfig,
+    *,
+    timestamp=0.0,
+) -> Frame:
+    """Monocular frame: ORB only — no depth, no right-u (the reference's
+    GrabImageMonocular path; depth arrives later via two-view
+    initialization + triangulation)."""
+    f = orb.extract_orb(img, cfg)
+    n = f.uv.shape[0]
+    return Frame(
+        uv=f.uv, level=f.level, angle=f.angle, desc=f.desc,
+        ur=jnp.full((n,), -1.0, jnp.float32),
+        depth=jnp.full((n,), -1.0, jnp.float32),
+        valid=f.valid,
+        timestamp=jnp.asarray(timestamp, jnp.float64),
+    )
+
+
 def build_rgbd_frame(
     img: jax.Array,
     depth_img: jax.Array,

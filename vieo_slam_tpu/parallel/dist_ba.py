@@ -73,12 +73,18 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     obs_free = free[jnp.clip(prob.obs_kf, 0)] & use
     wp = jnp.where(obs_free, w, 0.0)
 
+    # All by-keyframe reductions run as one-hot MXU contractions: TPU
+    # scatter (segment_sum) lowers to serialized updates — the round-3
+    # TPU row measured 0.6 iters/s scatter-bound on a 65k-landmark
+    # shard; the one-hot formulation puts the same reduction on the MXU
+    # (the ops/orb.py gather lesson, applied to the Schur fill).
+    kf_i = jnp.clip(prob.obs_kf, 0)
+    A = (kf_i[..., None] == jnp.arange(K, dtype=kf_i.dtype)
+         ).astype(r.dtype)                                 # [M, O, K]
     Hpp_d = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jp)
-    bp_o = -jnp.einsum("mori,mo,mor->moi", Jp, wp, r)
-    kf_flat = jnp.clip(prob.obs_kf, 0).reshape(-1)
-    Hpp = jax.ops.segment_sum(Hpp_d.reshape(-1, 6, 6), kf_flat,
-                              num_segments=K)
-    bp = jax.ops.segment_sum(bp_o.reshape(-1, 6), kf_flat, num_segments=K)
+    Hpp = jnp.einsum("mok,moij->kij", A, Hpp_d)
+    bp = -jnp.einsum("mok,moi->ki", A,
+                     jnp.einsum("mori,mo,mor->moi", Jp, wp, r))
 
     V = jnp.einsum("mori,mo,morj->mij", Jl, w, Jl)
     bl = -jnp.einsum("mori,mo,mor->mi", Jl, w, r)
@@ -91,37 +97,33 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
 
     Wc = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jl)
     Y = Wc @ V_inv[:, None]
-    kf_i = jnp.clip(prob.obs_kf, 0)
-    # Pair-fill in landmark chunks: the [M, O, O, 6, 6] pair tensor at
-    # M = 65k is ~0.6 GB per live temp and OOMed the 16 GB v5e when one
-    # chip holds the whole shard (round-3 TPU scaling run); a scan over
-    # fixed-size chunks keeps peak memory flat in M while the psum'd
-    # result is unchanged.
+    # Schur pair block S[k,k'] = Σ_m (Σ_o A Y)(Σ_p A W)ᵀ — factored
+    # through per-landmark per-pose accumulators B, C so the fill is two
+    # dense einsums instead of an O²-pair scatter, chunked over
+    # landmarks to bound the [chunk, K, 6, 3] temporaries (the unchunked
+    # [M,O,O,6,6] pair tensor OOMed the 16 GB v5e at M=65k).
     Ms, O = kf_i.shape
     chunk = min(8192, Ms)
     n_ch = -(-Ms // chunk)
     padM = n_ch * chunk - Ms
-    Yp = jnp.pad(Y, ((0, padM), (0, 0), (0, 0), (0, 0)))
-    Wp_ = jnp.pad(Wc, ((0, padM), (0, 0), (0, 0), (0, 0)))
-    kfp = jnp.pad(kf_i, ((0, padM), (0, 0)))
-    Yr = Yp.reshape(n_ch, chunk, O, 6, 3)
-    Wr = Wp_.reshape(n_ch, chunk, O, 6, 3)
-    kfr = kfp.reshape(n_ch, chunk, O)
+    Yr = jnp.pad(Y, ((0, padM), (0, 0), (0, 0), (0, 0))).reshape(
+        n_ch, chunk, O, 6, 3)
+    Wr = jnp.pad(Wc, ((0, padM), (0, 0), (0, 0), (0, 0))).reshape(
+        n_ch, chunk, O, 6, 3)
+    Ar = jnp.pad(A, ((0, padM), (0, 0), (0, 0))).reshape(
+        n_ch, chunk, O, K)
 
     def s_chunk(S_acc, args):
-        Yc, Wcc, kfc = args
-        Sp = jnp.einsum("moik,mpjk->mopij", Yc, Wcc)
-        pidx = (kfc[:, :, None] * K + kfc[:, None, :]).reshape(-1)
-        return S_acc + jax.ops.segment_sum(
-            Sp.reshape(-1, 6, 6), pidx, num_segments=K * K), None
+        Yc, Wcc, Ac = args
+        B = jnp.einsum("mok,moic->mkic", Ac, Yc)       # [chunk, K, 6, 3]
+        C = jnp.einsum("mok,mojc->mkjc", Ac, Wcc)
+        return S_acc + jnp.einsum("mkic,mljc->klij", B, C), None
 
     # the carry is shard-local (varying over the mesh axis)
-    S0 = jax.lax.pvary(jnp.zeros((K * K, 6, 6), Y.dtype), (axis,))
-    S, _ = jax.lax.scan(s_chunk, S0, (Yr, Wr, kfr))
-    S = S.reshape(K, K, 6, 6)
-    Yb = jnp.einsum("moij,mj->moi", Y, bl)
-    rhs = bp - jax.ops.segment_sum(Yb.reshape(-1, 6), kf_flat,
-                                   num_segments=K)
+    S0 = jax.lax.pvary(jnp.zeros((K, K, 6, 6), Y.dtype), (axis,))
+    S, _ = jax.lax.scan(s_chunk, S0, (Yr, Wr, Ar))
+    rhs = bp - jnp.einsum("mok,moi->ki", A,
+                          jnp.einsum("moij,mj->moi", Y, bl))
 
     # --- the one collective: reduce the camera system over ICI ---
     Hpp = jax.lax.psum(Hpp, axis)
@@ -139,7 +141,7 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     rhs_masked = rhs.reshape(-1) * fm
     dx = jnp.linalg.solve(S_masked, rhs_masked).reshape(K, 6)
     dx = jnp.where(free[:, None], dx, 0.0)
-    return dx, V_inv, bl, Wc, has_obs
+    return dx, V_inv, bl, Wc, has_obs, A
 
 
 def distributed_ba_step(prob: BAProblem, cam: cm.Camera, bf,
@@ -163,10 +165,9 @@ def distributed_ba_step(prob: BAProblem, cam: cm.Camera, bf,
         out_specs=(P(), P(), P(axis)),
     )
     def step(p: BAProblem, active_l, lam_l):
-        dx, V_inv, bl, Wc, has_obs = _partial_schur(
+        dx, V_inv, bl, Wc, has_obs, A = _partial_schur(
             p.Rcw, p.tcw, p.pw, p, cam, bf, active_l, lam_l, axis)
-        kf_i = jnp.clip(p.obs_kf, 0)
-        dx_o = dx[kf_i]
+        dx_o = jnp.einsum("mok,ki->moi", A, dx)   # one-hot, not gather
         Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx_o)
         dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
         dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
@@ -218,10 +219,10 @@ def distributed_ba(prob: BAProblem, cam: cm.Camera, bf, mesh: Mesh,
     def run(p: BAProblem, active_l):
         def body(carry, _):
             p, lam, cost = carry
-            dx, V_inv, bl, Wc, has_obs = _partial_schur(
+            dx, V_inv, bl, Wc, has_obs, A = _partial_schur(
                 p.Rcw, p.tcw, p.pw, p, cam, bf, active_l, lam, axis)
-            kf_i = jnp.clip(p.obs_kf, 0)
-            Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx[kf_i])
+            Wt_dx = jnp.einsum(
+                "moij,moi->mj", Wc, jnp.einsum("mok,ki->moi", A, dx))
             dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
             dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
             dRs, dts = lie.se3_exp(dx)

@@ -27,6 +27,12 @@ class WorldConfig:
     n_landmarks: int = 3000
     extent: tuple = (20.0, 12.0, 6.0)   # x, y, z box size
     seed: int = 0
+    # Dynamic-scene hardening: this fraction of landmarks oscillates
+    # through the world (non-rigid outliers a SLAM stack must reject —
+    # the reference faces these as moving objects on real sequences).
+    dynamic_frac: float = 0.0
+    dynamic_amp: float = 0.4            # metres of peak excursion
+    dynamic_omega: float = 1.3          # rad/s
 
 
 class SyntheticWorld:
@@ -55,6 +61,25 @@ class SyntheticWorld:
         self.saliency = rng.rand(n).astype(np.float32)
         self.rng = rng
         self._patches = None
+        # dynamic landmark bookkeeping
+        n_dyn = int(round(cfg.dynamic_frac * n))
+        self.dynamic_ids = rng.choice(n, n_dyn, replace=False) \
+            if n_dyn else np.zeros(0, np.int64)
+        self._dyn_dir = rng.randn(n_dyn, 3).astype(np.float32)
+        if n_dyn:
+            self._dyn_dir /= np.linalg.norm(
+                self._dyn_dir, axis=1, keepdims=True)
+        self._dyn_phase = rng.rand(n_dyn).astype(np.float32) * 2 * np.pi
+
+    def pw_at(self, t: float) -> np.ndarray:
+        """Landmark positions at time t (dynamic subset oscillates)."""
+        if not len(self.dynamic_ids):
+            return self.pw
+        pw = self.pw.copy()
+        off = np.sin(self.cfg.dynamic_omega * t + self._dyn_phase)
+        pw[self.dynamic_ids] += (self.cfg.dynamic_amp
+                                 * off[:, None] * self._dyn_dir)
+        return pw
 
     # ------------------------------------------------------------------
 
@@ -160,7 +185,11 @@ class SyntheticWorld:
         return self._patches
 
     def render_view(self, cam, Rcw, tcw, *, bg_level: float = 96.0,
-                    min_depth: float = 0.2) -> np.ndarray:
+                    min_depth: float = 0.2, t: float = 0.0,
+                    noise_sigma: float = 0.0, gain: float = 1.0,
+                    bias: float = 0.0, blur_sigma: float = 0.0,
+                    rng=None, return_depth: bool = False,
+                    depth_outlier_frac: float = 0.0):
         """Render a grayscale view of the landmark field through an
         arbitrary (possibly distorted) camera model.
 
@@ -169,10 +198,22 @@ class SyntheticWorld:
         This gives the REAL pipeline (pixels -> ORB -> stereo -> track)
         a world with stable, matchable corners and exact ground truth —
         the image-level e2e surface SURVEY §4 calls for.
+
+        Hardening knobs (pressure-test the ORB/matching stack the way
+        real imagery does):
+          t:                  scene time (dynamic landmarks move)
+          noise_sigma:        additive Gaussian photometric noise
+          gain/bias:          per-frame brightness drift I' = gain*I+bias
+          blur_sigma:         Gaussian defocus blur
+          return_depth:       also return a per-pixel depth map (RGB-D),
+                              with depth_outlier_frac of the landmark
+                              stamps carrying a corrupted depth
         """
         H, W = cam.height, cam.width
         img = np.full((H, W), bg_level, np.float32)
-        pc = self.pw @ np.asarray(Rcw).T + np.asarray(tcw)
+        depth_map = np.zeros((H, W), np.float32) if return_depth else None
+        pw = self.pw_at(t)
+        pc = pw @ np.asarray(Rcw).T + np.asarray(tcw)
         uv = np.asarray(cm.project(cam, jnp.asarray(pc, jnp.float32)))
         patches = self._landmark_patches()
         P = patches.shape[1]
@@ -183,6 +224,10 @@ class SyntheticWorld:
         # draw far-to-near so close landmarks overwrite far ones
         order = np.argsort(-pc[vis, 2], kind="stable")
         idx = np.nonzero(vis)[0][order]
+        if depth_map is not None and depth_outlier_frac > 0:
+            r_out = rng if rng is not None else np.random
+            outlier = r_out.rand(len(self.pw)) < depth_outlier_frac
+            out_scale = 1.0 + (r_out.rand(len(self.pw)) - 0.3)
         for li in idx:
             u, v = uv[li]
             iu, iv = int(np.floor(u)), int(np.floor(v))
@@ -198,6 +243,27 @@ class SyntheticWorld:
                   + fv * (1 - fu) * p01 + fv * fu * p00)
             img[iv - h + 1: iv + P - h + 1,
                 iu - h + 1: iu + P - h + 1] = sh
+            if depth_map is not None:
+                z = pc[li, 2]
+                if depth_outlier_frac > 0 and outlier[li]:
+                    z = z * out_scale[li]
+                depth_map[iv - h + 1: iv + P - h + 1,
+                          iu - h + 1: iu + P - h + 1] = z
+        # photometric hardening
+        if blur_sigma > 0:
+            k = np.exp(-0.5 * (np.arange(-3, 4) / blur_sigma) ** 2)
+            k /= k.sum()
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), 1, img)
+            img = np.apply_along_axis(
+                lambda c: np.convolve(c, k, mode="same"), 0, img)
+        img = gain * img + bias
+        if noise_sigma > 0:
+            r = rng if rng is not None else np.random
+            img = img + r.randn(H, W).astype(np.float32) * noise_sigma
+        img = np.clip(img, 0.0, 255.0).astype(np.float32)
+        if return_depth:
+            return img, depth_map
         return img
 
     def render_stereo(self, cam, Rcw, tcw, baseline: float, **kw):
@@ -254,6 +320,31 @@ def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
     # numerically for generality.
     return Rwc.astype(np.float32), pos.astype(np.float32), \
         v.astype(np.float32), a_w.astype(np.float32)
+
+
+def figure_eight_trajectory(t: np.ndarray, a=2.0, b=1.2, omega=0.35,
+                            z=0.0):
+    """Lemniscate p(t) = (a sin(wt), b sin(2wt), z), camera facing along
+    the direction of travel — each lap revisits every point with the
+    SAME heading, the multi-loop place-recognition scenario (loop
+    closures fire once per lap; the centre crossing adds near-identical
+    positions with opposite headings that must NOT close).
+
+    Returns (Rwc, twc, v_world)."""
+    t = np.asarray(t, np.float64)
+    w = omega
+    pos = np.stack([a * np.sin(w * t), b * np.sin(2 * w * t),
+                    np.full_like(t, z)], -1)
+    v = np.stack([a * w * np.cos(w * t), 2 * b * w * np.cos(2 * w * t),
+                  np.zeros_like(t)], -1)
+    fwd = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    up = np.tile([0.0, 0.0, -1.0], (len(t), 1))
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    Rwc = np.stack([right, down, fwd], axis=-1)
+    return (Rwc.astype(np.float32), pos.astype(np.float32),
+            v.astype(np.float32))
 
 
 def trajectory_to_tcw(Rwc, twc):
