@@ -77,10 +77,13 @@ def main():
                   f"kfs={sys_.map.n_keyframes()}", flush=True)
     print(f"done: {n} frames in {time.time() - t0:.1f}s")
 
+    # with/without-full-BA A/B (stereo_euroc.cc:346-360): both recovered
+    # via ref-KF relative composition so the final GBA improves the
+    # second output retroactively.
     write_trajectory_tum(args.out.replace(".txt", "_NO_FULLBA.txt"),
-                         sys_.tracker.trajectory)
+                         sys_.trajectory())
     sys_.final_global_ba()
-    write_trajectory_tum(args.out, sys_.tracker.trajectory)
+    write_trajectory_tum(args.out, sys_.trajectory())
     print(f"trajectories -> {args.out} (+ _NO_FULLBA A/B)")
 
 

@@ -1,0 +1,203 @@
+"""Background-GBA semantics: abort protocol, during-solve propagation,
+and the async loop-closing + GBA stress run.
+
+Reference behaviors under test: LoopClosing::RunGlobalBundleAdjustment on
+its own thread with the mnFullBAIdx abort (src/LoopClosing.cc:504-516,
+720-824) and spanning-tree propagation of mTcwGBA/mPosGBA to keyframes
+created while the solve ran (:779-862)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vieo_slam_tpu.backend.loop_closing import LoopCloser, LoopClosingConfig
+from vieo_slam_tpu.cameras import models as cm
+from vieo_slam_tpu.frontend.frame import make_frame_from_features
+from vieo_slam_tpu.io.evaluate import ate
+from vieo_slam_tpu.sim.world import (
+    SyntheticWorld, WorldConfig, circle_trajectory, trajectory_to_tcw,
+)
+from vieo_slam_tpu.system import System, SystemConfig
+
+
+def _build_small_map(n_frames=24):
+    cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+    bf = 400.0 * 0.2
+    world = SyntheticWorld(WorldConfig(n_landmarks=2500, seed=5,
+                                       extent=(6.0, 4.5, 3.0)))
+    ts = np.arange(n_frames) * 0.1
+    Rwc, twc, _, _ = circle_trajectory(ts, radius=1.0, omega=0.3,
+                                       look_outward=True)
+    Rcw, tcw = trajectory_to_tcw(Rwc, twc)
+    sys_ = System(cam, bf, SystemConfig())
+    rng = np.random.RandomState(2)
+    for i in range(n_frames):
+        obs = world.observe(Rcw[i], tcw[i], cam, bf=bf, n_kp=400,
+                            pixel_noise=0.3, bit_flips=4, clutter=30,
+                            rng=rng, max_depth=10.0)
+        frame = make_frame_from_features(
+            obs["uv"], obs["level"], obs["angle"], obs["desc"],
+            obs["valid"], ur=obs["ur"], depth=obs["depth"],
+            timestamp=ts[i])
+        sys_.track_frame(frame)
+    return sys_, (ts, twc)
+
+
+class TestGbaAbort:
+    def test_aborted_gba_leaves_map_untouched(self):
+        sys_, _ = _build_small_map()
+        m = sys_.map
+        R_before = m.kf_Rcw.copy()
+        t_before = m.kf_tcw.copy()
+        ev = threading.Event()
+        ev.set()
+        ok = sys_.mapper.run_global_ba(abort=ev)
+        assert ok is False
+        np.testing.assert_array_equal(m.kf_Rcw, R_before)
+        np.testing.assert_array_equal(m.kf_tcw, t_before)
+
+    def test_unaborted_gba_runs(self):
+        sys_, _ = _build_small_map()
+        ok = sys_.mapper.run_global_ba(abort=threading.Event())
+        assert ok is True
+
+
+class TestGbaPropagation:
+    def test_during_solve_keyframes_and_landmarks_follow(self):
+        """Simulate a GBA whose solve window saw an older map: snapshot,
+        then insert a keyframe + landmark, then apply a result that
+        rigidly moves the snapshot — the new KF and its landmark must
+        follow their anchor exactly (relative pose preserved)."""
+        sys_, _ = _build_small_map()
+        m = sys_.map
+        mp = sys_.mapper
+        with m.lock:
+            kfs = m.keyframe_ids()
+            window, ring = kfs[1:], kfs[:1]
+            lm_ids = m.landmarks_in_keyframes(kfs)
+            lm_ids = lm_ids[m.lm_valid[lm_ids]]
+            prob_np, kf_order, lm_ids = m.build_ba_problem(
+                window, ring, lm_ids)
+            snap_next_kf = m._next_kf
+
+        # a keyframe arrives "during the solve", chained to the last one
+        last = int(kfs[-1])
+        dR = np.eye(3, dtype=np.float32)
+        dt = np.asarray([0.05, 0.0, 0.02], np.float32)
+        R_new_kf = dR @ m.kf_Rcw[last]
+        t_new_kf = dR @ m.kf_tcw[last] + dt
+        N = m.cfg.max_kp
+        k_new = m.add_keyframe(
+            Rcw=R_new_kf, tcw=t_new_kf, timestamp=99.0, frame_id=999,
+            uv=np.zeros((N, 2), np.float32), level=np.zeros(N, np.int32),
+            desc=np.zeros((N, 8), np.uint32),
+            ur=np.full(N, -1.0, np.float32),
+            depth=np.full(N, -1.0, np.float32),
+            kp_valid=np.zeros(N, bool), lm_idx=np.full(N, -1, np.int32))
+        new_lm = m.add_landmarks(np.asarray([[0.5, 0.5, 3.0]], np.float32),
+                                 np.zeros((1, 8), np.uint32),
+                                 first_kf=k_new)
+
+        # "result": rotate+shift every snapshot pose by a rigid T_g
+        from vieo_slam_tpu.math.lie import normalize_rotation_np
+        ang = 0.2
+        Rg = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                         [np.sin(ang), np.cos(ang), 0],
+                         [0, 0, 1]], np.float32)
+        tg = np.asarray([0.3, -0.1, 0.05], np.float32)
+        K = len(kf_order)
+        Rcw_res = np.einsum("kij,jl->kil", m.kf_Rcw[kf_order], Rg.T)
+        tcw_res = m.kf_tcw[kf_order] - np.einsum(
+            "kij,j->ki", Rcw_res, tg)
+        pw_res = m.lm_pw[lm_ids] @ Rg.T + tg
+
+        lm_old_pw = m.lm_pw[new_lm[0]].copy()
+        with m.lock:
+            ok = mp._apply_gba_result(
+                kf_order, lm_ids, Rcw_res, tcw_res, pw_res,
+                n_free=len(window), snap_next_kf=snap_next_kf)
+        assert ok
+
+        # anchor after GBA
+        R_a, t_a = m.kf_Rcw[last], m.kf_tcw[last]
+        # the new KF must keep its relative pose to the anchor
+        R_rel = m.kf_Rcw[k_new] @ R_a.T
+        t_rel = m.kf_tcw[k_new] - R_rel @ t_a
+        np.testing.assert_allclose(R_rel, dR, atol=1e-5)
+        np.testing.assert_allclose(t_rel, dt, atol=1e-4)
+        # the during-solve landmark follows its reference KF's gauge move
+        p_expect = lm_old_pw @ Rg.T + tg
+        np.testing.assert_allclose(m.lm_pw[new_lm[0]], p_expect,
+                                   atol=2e-3)
+
+
+@pytest.mark.slow
+class TestAsyncLoopGbaStress:
+    """Loop closing + background GBA + tracking, hundreds of frames,
+    async worker on: no losses, no torn state (worker errors re-raise),
+    quality parity with the synchronous pipeline."""
+
+    def _run(self, async_mapping, n_frames=200):
+        import time
+
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        bf = 400.0 * 0.2
+        world = SyntheticWorld(WorldConfig(n_landmarks=5000, seed=7,
+                                           extent=(6.0, 4.5, 3.0)))
+        ts = np.arange(n_frames) * 0.1
+        # ~2.1 laps: the second lap closes the loop, firing GBA while
+        # tracking continues
+        Rwc, twc, _, _ = circle_trajectory(ts, radius=1.0, omega=0.65,
+                                           look_outward=True)
+        Rcw, tcw = trajectory_to_tcw(Rwc, twc)
+        sys_ = System(cam, bf, SystemConfig(async_mapping=async_mapping))
+        sys_.loop_closer = LoopCloser(
+            cam, bf, sys_.map, LoopClosingConfig(min_kf_gap=12))
+        rng = np.random.RandomState(4)
+        states, lat = [], []
+        for i in range(n_frames):
+            obs = world.observe(Rcw[i], tcw[i], cam, bf=bf, n_kp=450,
+                                pixel_noise=0.3, bit_flips=4, clutter=40,
+                                rng=rng, max_depth=10.0)
+            frame = make_frame_from_features(
+                obs["uv"], obs["level"], obs["angle"], obs["desc"],
+                obs["valid"], ur=obs["ur"], depth=obs["depth"],
+                timestamp=ts[i])
+            st = time.perf_counter()
+            states.append(sys_.track_frame(frame))
+            lat.append(time.perf_counter() - st)
+        sys_.wait_idle()
+        traj = sys_.tracker.trajectory
+        t_est = np.asarray([x[0] for x in traj])
+        p_est = np.asarray([-(x[1].T @ x[2]) for x in traj])
+        res = ate(t_est, p_est, ts, twc)
+        loops = sys_.loop_closer.n_loops_closed
+        sys_.shutdown()
+        return states, res, loops, np.asarray(lat)
+
+    @pytest.fixture(scope="class")
+    def stress(self):
+        return self._run(False), self._run(True)
+
+    def test_no_losses_and_loops_close(self, stress):
+        (st_s, _, loops_s, _), (st_a, _, loops_a, _) = stress
+        assert sum(s.name == "LOST" for s in st_a) == 0
+        assert loops_a >= 1, loops_a
+        assert loops_s >= 1, loops_s
+
+    def test_quality_parity(self, stress):
+        (_, res_s, _, _), (_, res_a, _, _) = stress
+        assert res_a["rmse"] < 0.05, (res_s, res_a)
+        assert res_a["rmse"] < max(2.5 * res_s["rmse"], 0.02), \
+            (res_s, res_a)
+
+    def test_async_tail_latency_beats_sync(self, stress):
+        """The point of the async pipeline: keyframe-stage work leaves
+        the per-frame critical path, so worst-case frame latency drops
+        (the reference's 'tracking never blocked by mapping')."""
+        (_, _, _, lat_s), (_, _, _, lat_a) = stress
+        p99_s = float(np.percentile(lat_s, 99))
+        p99_a = float(np.percentile(lat_a, 99))
+        # generous CPU-host gate: async p99 must be well under sync p99
+        assert p99_a < 0.8 * p99_s, (p99_s, p99_a)

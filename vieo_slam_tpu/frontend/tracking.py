@@ -179,6 +179,8 @@ class Tracker:
         self.pending_correction = None   # (dR [3,3], dt [3]) or None
         # trajectory log: (timestamp, Rcw, tcw, state)
         self.trajectory = []
+        # (timestamp, ref_kf, R_cr, t_cr, state) — see track()
+        self.trajectory_rel = []
 
     # ------------------------------------------------------------------
 
@@ -251,6 +253,23 @@ class Tracker:
             (float(frame.timestamp), self.Rcw.copy(), self.tcw.copy(),
              self.state.name)
         )
+        # Relative trajectory (the reference's lRit/lpRefs lists,
+        # System::SaveTrajectoryTUM src/System.cc:780-860): store the
+        # frame pose RELATIVE to its reference keyframe so later map
+        # optimization (local BA, loop closing, final GBA) improves the
+        # recovered trajectory retroactively.
+        ref = self.last_kf_id
+        if ref >= 0 and self.map.kf_valid[ref]:
+            R_ref, t_ref = self.map.kf_Rcw[ref], self.map.kf_tcw[ref]
+            R_cr = self.Rcw @ R_ref.T
+            t_cr = self.tcw - R_cr @ t_ref
+            self.trajectory_rel.append(
+                (float(frame.timestamp), int(ref), R_cr.astype(np.float32),
+                 t_cr.astype(np.float32), self.state.name))
+        else:
+            self.trajectory_rel.append(
+                (float(frame.timestamp), -1, self.Rcw.copy(),
+                 self.tcw.copy(), self.state.name))
         self.frame_id += 1
         return self.state
 

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..cameras import models as cm
 from ..math import lie
 from ..solvers.lm import huber_weight
-from ..solvers.local_ba import BAProblem, _obs_terms
+from ..solvers.local_ba import BAProblem, _obs_terms, inv3x3
 
 
 def make_ba_mesh(devices=None, axis: str = "lm") -> Mesh:
@@ -93,7 +93,7 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     has_obs = jnp.sum(w, axis=-1) > 0
     V_d = jnp.where(has_obs[:, None, None], V_d,
                     jnp.broadcast_to(jnp.eye(3, dtype=V.dtype), V_d.shape))
-    V_inv = jnp.linalg.inv(V_d)
+    V_inv = inv3x3(V_d)   # closed form: batched LU serializes on TPU
 
     Wc = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jl)
     Y = Wc @ V_inv[:, None]
@@ -189,6 +189,25 @@ def _shard_cost(p: BAProblem, cam, bf, active, axis: str):
     return jax.lax.psum(c, axis)
 
 
+# Compiled-program cache for distributed_ba: the jitted shard_map closure
+# is rebuilt per call, and a fresh function object means jax RETRACES AND
+# RECOMPILES every invocation — the round-3 TPU scaling row was measuring
+# ~30 s of compilation per "timed" solve, not execution.  Keyed on
+# everything that affects the traced program.
+_DBA_CACHE: dict = {}
+
+
+def _dba_key(prob, cam, mesh, iters, axis, init_lambda):
+    import numpy as _np
+    return (
+        tuple(d.id for d in mesh.devices.flat), axis, int(iters),
+        float(init_lambda),
+        tuple((tuple(a.shape), str(a.dtype)) for a in prob),
+        tuple(_np.asarray(leaf).tobytes()
+              for leaf in jax.tree.leaves(cam)),
+    )
+
+
 def distributed_ba(prob: BAProblem, cam: cm.Camera, bf, mesh: Mesh,
                    *, iters: int = 10, axis: str = "lm",
                    init_lambda: float = 1e-4):
@@ -199,6 +218,18 @@ def distributed_ba(prob: BAProblem, cam: cm.Camera, bf, mesh: Mesh,
     replicated accept/reject decision — the same LM semantics as the
     single-device solvers.local_ba, scaled over the landmark shard.
     """
+    prob = shard_problem(prob, mesh, axis)
+    active = prob.obs_valid
+    key = _dba_key(prob, cam, mesh, iters, axis, init_lambda)
+    run = _DBA_CACHE.get(key)
+    if run is None:
+        run = _build_dba(cam, bf, mesh, iters, axis, init_lambda,
+                         prob.tcw.dtype)
+        _DBA_CACHE[key] = run
+    return run(prob, active)
+
+
+def _build_dba(cam, bf, mesh, iters, axis, init_lambda, dtype):
     in_specs = BAProblem(
         Rcw=P(), tcw=P(), fixed=P(),
         pw=P(axis), lm_valid=P(axis), obs_kf=P(axis),
@@ -206,43 +237,47 @@ def distributed_ba(prob: BAProblem, cam: cm.Camera, bf, mesh: Mesh,
         obs_inv_sigma2=P(axis), obs_valid=P(axis),
     )
 
-    prob = shard_problem(prob, mesh, axis)
-    active = prob.obs_valid
-    dtype = prob.tcw.dtype
-
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(in_specs, P(axis)),
         out_specs=(P(), P(), P(axis)),
     )
-    def run(p: BAProblem, active_l):
+    def run(p0: BAProblem, active_l):
+        # carry only the mutable state — carrying the whole problem
+        # pytree made every iteration where-copy the (constant)
+        # observation arrays
         def body(carry, _):
-            p, lam, cost = carry
+            Rcw, tcw, pw, lam, cost = carry
+            p = p0._replace(Rcw=Rcw, tcw=tcw, pw=pw)
             dx, V_inv, bl, Wc, has_obs, A = _partial_schur(
-                p.Rcw, p.tcw, p.pw, p, cam, bf, active_l, lam, axis)
+                Rcw, tcw, pw, p, cam, bf, active_l, lam, axis)
             Wt_dx = jnp.einsum(
                 "moij,moi->mj", Wc, jnp.einsum("mok,ki->moi", A, dx))
             dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
             dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
             dRs, dts = lie.se3_exp(dx)
-            Rcw_n = (dRs @ p.Rcw).astype(p.Rcw.dtype)
-            tcw_n = (jnp.einsum("kij,kj->ki", dRs, p.tcw) + dts).astype(
-                p.tcw.dtype)
-            pw_n = (p.pw + dl).astype(p.pw.dtype)
-            cand = p._replace(Rcw=Rcw_n, tcw=tcw_n, pw=pw_n)
+            Rcw_n = (dRs @ Rcw).astype(Rcw.dtype)
+            tcw_n = (jnp.einsum("kij,kj->ki", dRs, tcw) + dts).astype(
+                tcw.dtype)
+            pw_n = (pw + dl).astype(pw.dtype)
+            cand = p0._replace(Rcw=Rcw_n, tcw=tcw_n, pw=pw_n)
             new_cost = _shard_cost(cand, cam, bf, active_l, axis).astype(
                 dtype)
             accept = (new_cost < cost) & jnp.isfinite(new_cost)
-            p = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            Rcw = jnp.where(accept, Rcw_n, Rcw)
+            tcw = jnp.where(accept, tcw_n, tcw)
+            pw = jnp.where(accept, pw_n, pw)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0).astype(dtype)
             cost = jnp.where(accept, new_cost, cost)
-            return (p, lam, cost), None
+            return (Rcw, tcw, pw, lam, cost), None
 
-        cost0 = _shard_cost(p, cam, bf, active_l, axis).astype(dtype)
-        (p, _, cost), _ = jax.lax.scan(
-            body, (p, jnp.asarray(init_lambda, dtype), cost0), None,
-            length=iters)
-        return p.Rcw, p.tcw, p.pw
+        cost0 = _shard_cost(p0, cam, bf, active_l, axis).astype(dtype)
+        (Rcw, tcw, pw, _, cost), _ = jax.lax.scan(
+            body,
+            (p0.Rcw, p0.tcw, p0.pw, jnp.asarray(init_lambda, dtype),
+             cost0),
+            None, length=iters)
+        return Rcw, tcw, pw
 
-    return run(prob, active)
+    return run

@@ -323,12 +323,20 @@ def circle_trajectory(t: np.ndarray, radius=4.0, omega=0.3, z=0.0,
 
 
 def figure_eight_trajectory(t: np.ndarray, a=2.0, b=1.2, omega=0.35,
-                            z=0.0):
-    """Lemniscate p(t) = (a sin(wt), b sin(2wt), z), camera facing along
-    the direction of travel — each lap revisits every point with the
-    SAME heading, the multi-loop place-recognition scenario (loop
-    closures fire once per lap; the centre crossing adds near-identical
-    positions with opposite headings that must NOT close).
+                            z=0.0, heading="tangent"):
+    """Lemniscate p(t) = (a sin(wt), b sin(2wt), z) — each lap revisits
+    every point with the SAME pose, the multi-loop place-recognition
+    scenario (loop closures fire once per lap).
+
+    heading="tangent": camera faces along travel — viewing direction
+    sweeps the full 360° per lap, so covisibility to lap-1 breaks and
+    revisits genuinely require place recognition.  Mind the yaw rate at
+    the lobe ends: keep it trackable (a=3, b=1, ~180 frames/lap ≈ 4.8°
+    per frame max; a=2, b=1.2 at 90/lap hits 14.6°/frame and breaks
+    frame-to-frame tracking).  heading=(x, y, z) point: camera looks
+    away from that fixed point — smooth but keeps one wall in view
+    forever, so the map stays covisibility-connected and loop closure
+    is never exercised.
 
     Returns (Rwc, twc, v_world)."""
     t = np.asarray(t, np.float64)
@@ -337,7 +345,12 @@ def figure_eight_trajectory(t: np.ndarray, a=2.0, b=1.2, omega=0.35,
                     np.full_like(t, z)], -1)
     v = np.stack([a * w * np.cos(w * t), 2 * b * w * np.cos(2 * w * t),
                   np.zeros_like(t)], -1)
-    fwd = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    if heading == "tangent":
+        fwd = v.copy()
+    else:
+        fwd = pos - np.asarray(heading, np.float64)[None, :]
+    fwd = fwd / np.maximum(np.linalg.norm(fwd, axis=-1, keepdims=True),
+                           1e-9)
     up = np.tile([0.0, 0.0, -1.0], (len(t), 1))
     right = np.cross(fwd, up)
     right /= np.linalg.norm(right, axis=-1, keepdims=True)

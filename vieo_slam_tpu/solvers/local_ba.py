@@ -119,6 +119,32 @@ def _total_cost(Rcw, tcw, pw, prob, cam, bf, active):
         + jnp.sum(penalty * w_act * (~depth_ok))
 
 
+def inv3x3(V: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    TPU lowers batched `jnp.linalg.inv` through LU with tiny serialized
+    panels — measured +52 ms per BA iteration on a 65k-landmark block
+    vs. ~free for the cofactor formula (pure VPU elementwise math)."""
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 0], V[..., 1, 1], V[..., 1, 2]
+    g, h, i = V[..., 2, 0], V[..., 2, 1], V[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1)], -2)
+    return inv / det[..., None, None]
+
+
 def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     """One damped Schur step. Returns (Rcw', tcw', pw') candidates."""
     K = Rcw.shape[0]
@@ -150,7 +176,7 @@ def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     has_obs = jnp.sum(w, axis=-1) > 0
     V_d = jnp.where(has_obs[:, None, None], V_d,
                     jnp.broadcast_to(jnp.eye(3, dtype=V.dtype), V_d.shape))
-    V_inv = jnp.linalg.inv(V_d)
+    V_inv = inv3x3(V_d)
 
     Wc = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jl)          # [M,O,6,3]
     Y = Wc @ V_inv[:, None]                                    # [M,O,6,3]

@@ -255,17 +255,40 @@ class System:
 
     # ------------------------------------------------------------------
 
-    def trajectory(self):
-        """Per-frame camera trajectory [(t, Rcw, tcw, state)]."""
-        return self.tracker.trajectory
+    def trajectory(self, optimized: bool = True):
+        """Per-frame camera trajectory [(t, Rcw, tcw, state)].
 
-    def trajectory_tum(self) -> str:
+        optimized=True recovers each frame pose by composing its stored
+        frame-to-reference-KF relative transform with the reference
+        keyframe's CURRENT pose (System::SaveTrajectoryTUM semantics,
+        src/System.cc:780-860) — so local BA, loop corrections, and the
+        final GBA retroactively improve the whole trajectory, the
+        reference's with/without-full-BA A/B.  optimized=False returns
+        the live poses as tracked."""
+        if not optimized or not self.tracker.trajectory_rel:
+            return self.tracker.trajectory
+        out = []
+        m = self.map
+        for t, ref, R_cr, t_cr, state in self.tracker.trajectory_rel:
+            if ref < 0:
+                out.append((t, R_cr, t_cr, state))
+                continue
+            # erased reference KFs keep their last stored pose — an
+            # approximation of the reference's spanning-tree walk for
+            # bad parents (KeyFrame::GetParent accumulation)
+            R_ref, t_ref = m.kf_Rcw[ref], m.kf_tcw[ref]
+            Rcw = R_cr @ R_ref
+            tcw = R_cr @ t_ref + t_cr
+            out.append((t, Rcw, tcw, state))
+        return out
+
+    def trajectory_tum(self, optimized: bool = True) -> str:
         """TUM format: t x y z qx qy qz qw of Twc
         (System::SaveTrajectoryTUM)."""
         from .math import lie
         import jax.numpy as jnp
         lines = []
-        for t, Rcw, tcw, state in self.tracker.trajectory:
+        for t, Rcw, tcw, state in self.trajectory(optimized):
             Rwc = Rcw.T
             twc = -Rwc @ tcw
             q = np.asarray(lie.quat_from_rotmat(jnp.asarray(Rwc)))
