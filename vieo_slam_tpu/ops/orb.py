@@ -126,14 +126,18 @@ class OrbFeatures(NamedTuple):
 
 
 def build_pyramid(img: jax.Array, cfg: OrbConfig) -> list[jax.Array]:
-    """[H, W] float32 -> list of per-level images (ComputePyramid)."""
+    """[H, W] float32 -> list of per-level images (ComputePyramid).
+
+    Each level resizes from the PREVIOUS level (like the reference's
+    cv::resize chain, ORBextractor.cc:1060) — ~30% less resampling work
+    than resizing every level from level 0."""
     h, w = img.shape
     levels = [img]
     for lv in range(1, cfg.n_levels):
         s = float(cfg.level_scales[lv])
         nh, nw = round(h / s), round(w / s)
         levels.append(
-            jax.image.resize(img, (nh, nw), method="bilinear")
+            jax.image.resize(levels[-1], (nh, nw), method="bilinear")
         )
     return levels
 
