@@ -80,7 +80,10 @@ def run_once(scenario: str, seed: int, n_frames: int):
         cam, bf = geom, 300.0 * 0.11
 
     # Octaves are physical at image level: predicted-scale search radii on.
-    scfg = SystemConfig(tracker=TrackerConfig(use_predicted_scale=True))
+    # stereo_async runs the concurrent tracking/mapping pipeline (worker
+    # thread + map.lock + correction sinks) as a first-class accuracy row.
+    scfg = SystemConfig(tracker=TrackerConfig(use_predicted_scale=True),
+                        async_mapping=(scenario == "stereo_async"))
     sys_ = System(cam, bf, scfg)
     sys_.loop_closer = LoopCloser(cam, bf, sys_.map,
                                   LoopClosingConfig(min_kf_gap=8))
@@ -125,7 +128,7 @@ def run_once(scenario: str, seed: int, n_frames: int):
         enc = (t_enc, v_l, v_r)
 
     # jitted frame builders (compile once per scenario)
-    if scenario in ("stereo", "stereo_vio", "vieo", "veo"):
+    if scenario in ("stereo", "stereo_async", "stereo_vio", "vieo", "veo"):
         build = jax.jit(lambda l, r, t: build_stereo_frame(
             l, r, ocfg, bf=bf, min_depth=0.3, max_depth=15.0, timestamp=t))
     elif scenario == "rgbd":
@@ -155,7 +158,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
                 enc_i += 1
         g, b = _gain_bias(t)
         hard = dict(t=t, noise_sigma=NOISE_SIGMA, gain=g, bias=b, rng=rng)
-        if scenario in ("stereo", "stereo_vio", "vieo", "veo"):
+        if scenario in ("stereo", "stereo_async", "stereo_vio", "vieo",
+                        "veo"):
             img_l, img_r = world.render_stereo(
                 cam, Rcw[i], tcw[i], BASELINE, **hard)
             frame = build(jnp.asarray(img_l), jnp.asarray(img_r),
@@ -194,14 +198,16 @@ def run_once(scenario: str, seed: int, n_frames: int):
         return ate(m.kf_timestamp[kfs], p, ts, twc,
                    with_scale=(scenario == "mono"))
 
+    sys_.wait_idle()
     pre = kf_ate()
     sys_.final_global_ba()
     post = kf_ate()
+    sys_.shutdown()
     return {"rmse_noFullBA": pre["rmse"], "max_noFullBA": pre["max"],
             "rmse_fullBA": post["rmse"], "max_fullBA": post["max"]}
 
 
-ALL = "stereo,rgbd,mono,stereo_vio,vieo,veo,multicam_kb8"
+ALL = "stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,multicam_kb8"
 
 
 def main():
@@ -210,6 +216,8 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--scenarios", default=ALL)
+    ap.add_argument("--out", default=None,
+                    help="write the aggregate table as JSON")
     args = ap.parse_args()
 
     import jax
@@ -244,6 +252,15 @@ def main():
         print(" | ".join([f"{sc:>18}"] + [
             f"{agg.get(h, float('nan')):>18.4f}" for h in hdr[1:]]))
     print(json.dumps(table))
+    if args.out:
+        meta = {"n_runs": args.n, "frames": args.frames,
+                "renderer_hardening": {
+                    "noise_sigma": NOISE_SIGMA,
+                    "brightness_drift": "gain 1±0.10, bias ±8",
+                    "dynamic_landmark_frac": DYNAMIC_FRAC,
+                    "rgbd_depth_outlier_frac": DEPTH_OUTLIER_FRAC}}
+        with open(args.out, "w") as f:
+            json.dump({"meta": meta, "scenarios": table}, f, indent=1)
 
 
 if __name__ == "__main__":
