@@ -222,8 +222,15 @@ def load_dbow_text(path: str) -> Vocabulary:
         kids = children.get(file_id, [])
         for c, kid in enumerate(kids[:k]):
             place(kid, level + 1, pos * k + c)
-        for c in range(len(kids), k):      # pad missing children
-            _pad(level + 1, pos * k + c, desc_all[file_id - 1])
+        # Pad missing children with the FIRST REAL SIBLING's descriptor:
+        # the descent's argmin takes the first index on ties and real
+        # children sit before padded ones, so a padded child can never
+        # win — exactly DBoW2's "never visit non-existent children"
+        # (padding with the PARENT's descriptor could out-score every
+        # real child and silently drop the word into a zero-weight leaf).
+        pad_d = desc_all[kids[0] - 1] if kids else desc_all[file_id - 1]
+        for c in range(len(kids), k):
+            _pad(level + 1, pos * k + c, pad_d)
 
     def _pad(level: int, pos: int, d):
         start = k * (k ** (level - 1) - 1) // (k - 1)
@@ -237,6 +244,7 @@ def load_dbow_text(path: str) -> Vocabulary:
     roots = children.get(0, [])
     for c, kid in enumerate(roots[:k]):
         place(kid, 1, c)
+    root_pad = desc_all[roots[0] - 1] if roots else np.zeros(8, np.uint32)
     for c in range(len(roots), k):
-        _pad(1, c, np.zeros(8, np.uint32))
+        _pad(1, c, root_pad)
     return Vocabulary(k=k, L=L, node_desc=node_desc, idf=idf)
