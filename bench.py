@@ -45,7 +45,10 @@ SLAB = 4096
 # landmarks in the covisible window); measured 0.197 -> 0.075 ms per
 # association pass on v5e.
 SLAB_375 = int(os.environ.get("BENCH_SLAB_375", "2048"))
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "50"))
+# 100-frame chains: relay RTT jitter (±5 ms per block) amortizes to
+# ±0.05 ms/frame — the 375-feat row sits 2% above its 3x bar, so
+# measurement noise must stay well under that.
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 # Defaults = the production TrackerConfig defaults (round-3 TPU A/B
 # winner: parallel-lambda LM, short schedule — 7.2 ms/frame vs 9.9 with
 # the round-2 lm(3,6,2,4)).
