@@ -103,7 +103,11 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     # landmarks to bound the [chunk, K, 6, 3] temporaries (the unchunked
     # [M,O,O,6,6] pair tensor OOMed the 16 GB v5e at M=65k).
     Ms, O = kf_i.shape
-    chunk = min(8192, Ms)
+    # chunk sized so the [chunk, K, 6, 3] accumulators stay ~<=64 MB
+    # even at global-BA K (the pair fill's FLOPs scale with K^2 — for
+    # K >> 64 a block-sparse fill would win; window BA has K <= ~48)
+    chunk = int(min(8192, max(256, (1 << 26) // (72 * max(K, 1)))))
+    chunk = min(chunk, Ms)
     n_ch = -(-Ms // chunk)
     padM = n_ch * chunk - Ms
     Yr = jnp.pad(Y, ((0, padM), (0, 0), (0, 0), (0, 0))).reshape(
