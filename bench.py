@@ -164,7 +164,12 @@ def stage_inputs():
 
 
 def run_config(n_features: int, rtt: float, inputs,
-               slab: int = SLAB) -> float:
+               slab: int = SLAB, repeats: int = 3) -> float:
+    """Best of `repeats` chained runs: the axon relay stalls for
+    hundreds of ms at unpredictable moments (observed r3: the same
+    375-feat row measuring 3.64 then 5.61 ms across runs while the
+    1200-feat row held) — stalls are strictly additive, so the MINIMUM
+    over repeats is the honest device-latency estimator."""
     imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
     if slab != SLAB:
         lm_pw = lm_pw[:slab]
@@ -173,14 +178,17 @@ def run_config(n_features: int, rtt: float, inputs,
     frame_step, _ = build_pipeline(n_features, slab)
     out = frame_step(imgs_l[0], imgs_r[0], lm_pw, lm_desc, lm_valid, R0, t0)
     jax.block_until_ready(out)         # compile + warm
-    R, t = R0, t0
-    st = time.time()
-    for i in range(N_FRAMES):
-        out = frame_step(imgs_l[i % 4], imgs_r[i % 4],
-                         lm_pw, lm_desc, lm_valid, R, t)
-        R, t = out.Rcw, out.tcw        # pose chain serializes frames
-    jax.block_until_ready(out)
-    return (time.time() - st - rtt) / N_FRAMES * 1e3
+    best = float("inf")
+    for _ in range(repeats):
+        R, t = R0, t0
+        st = time.time()
+        for i in range(N_FRAMES):
+            out = frame_step(imgs_l[i % 4], imgs_r[i % 4],
+                             lm_pw, lm_desc, lm_valid, R, t)
+            R, t = out.Rcw, out.tcw    # pose chain serializes frames
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - st - rtt) / N_FRAMES * 1e3)
+    return best
 
 
 def run_stages(n_features: int, rtt: float, inputs) -> dict:

@@ -134,6 +134,32 @@ class TestSchurAlgebra:
                                    + dl_ref, atol=2e-3)
 
 
+class TestOnehotReduction:
+    def test_onehot_matches_scatter(self):
+        """The TPU one-hot MXU reduction path must produce the same step
+        as the segment_sum path (exercised here on CPU via the override
+        knob; on TPU `auto` picks one-hot for K<=64)."""
+        from vieo_slam_tpu.solvers import local_ba as lba
+        cam, bf, prob, _ = make_world(K=6, M=40, O=4, noise=0.1,
+                                      stereo=True)
+        rng = np.random.RandomState(7)
+        prob = prob._replace(
+            pw=prob.pw + 0.04 * rng.randn(40, 3).astype(np.float32))
+        args = (prob.Rcw, prob.tcw, prob.pw, prob, cam,
+                jnp.asarray(bf, jnp.float32),
+                jnp.ones_like(prob.obs_valid),
+                jnp.asarray(1e-3, jnp.float32))
+        try:
+            lba.ONEHOT_MODE = "off"
+            ref = [np.asarray(x) for x in _ba_iteration(*args)]
+            lba.ONEHOT_MODE = "on"
+            got = [np.asarray(x) for x in _ba_iteration(*args)]
+        finally:
+            lba.ONEHOT_MODE = "auto"
+        for g, r_, tol in zip(got, ref, (1e-5, 1e-4, 1e-4)):
+            np.testing.assert_allclose(g, r_, atol=tol)
+
+
 class TestLocalBA:
     def test_converges_from_perturbation(self):
         cam, bf, prob, (R_t, t_t, pw_t) = make_world(K=5, M=60, O=5,

@@ -36,6 +36,14 @@ from .lm import huber_cost, huber_weight
 from .motion_ba import CHI2_MONO, CHI2_STEREO
 
 
+# Reduction strategy for the by-keyframe sums in `_ba_iteration`:
+# "auto" picks one-hot MXU contractions on TPU (scatter serializes there)
+# and segment_sum elsewhere; "on"/"off" force a path (tests use this to
+# check the two are equivalent on CPU). Trace-time constant — flipping it
+# after a solve has been jitted has no effect on the cached program.
+ONEHOT_MODE = "auto"
+
+
 class BAProblem(NamedTuple):
     """Fixed-capacity BA problem, observations grouped by landmark.
 
@@ -158,13 +166,30 @@ def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     obs_free = free[jnp.clip(prob.obs_kf, 0)] & use
     wp = jnp.where(obs_free, w, 0.0)
 
+    # By-keyframe reductions: scatter (segment_sum) on CPU, one-hot MXU
+    # contractions on TPU where scatter serializes (the ops/orb.py
+    # lesson; the one-hot pair fill scales with K^2, so only below the
+    # window-BA size — global BA keeps the scatter path).
+    if ONEHOT_MODE == "auto":
+        onehot = jax.default_backend() == "tpu" and K <= 64
+    else:
+        onehot = ONEHOT_MODE == "on"
+    kf_i = jnp.clip(prob.obs_kf, 0)
+    A = ((kf_i[..., None] == jnp.arange(K, dtype=kf_i.dtype))
+         .astype(r.dtype) if onehot else None)
+
     # Pose-diagonal H and gradient.
     Hpp_d = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jp)       # [M,O,6,6]
     bp_o = -jnp.einsum("mori,mo,mor->moi", Jp, wp, r)          # [M,O,6]
-    kf_flat = jnp.clip(prob.obs_kf, 0).reshape(-1)
-    Hpp = jax.ops.segment_sum(
-        Hpp_d.reshape(-1, 6, 6), kf_flat, num_segments=K)      # [K,6,6]
-    bp = jax.ops.segment_sum(bp_o.reshape(-1, 6), kf_flat, num_segments=K)
+    kf_flat = kf_i.reshape(-1)
+    if onehot:
+        Hpp = jnp.einsum("mok,moij->kij", A, Hpp_d)
+        bp = jnp.einsum("mok,moi->ki", A, bp_o)
+    else:
+        Hpp = jax.ops.segment_sum(
+            Hpp_d.reshape(-1, 6, 6), kf_flat, num_segments=K)  # [K,6,6]
+        bp = jax.ops.segment_sum(bp_o.reshape(-1, 6), kf_flat,
+                                 num_segments=K)
 
     # Landmark blocks.
     V = jnp.einsum("mori,mo,morj->mij", Jl, w, Jl)             # [M,3,3]
@@ -182,16 +207,20 @@ def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     Y = Wc @ V_inv[:, None]                                    # [M,O,6,3]
 
     # Schur fill over observation pairs of the same landmark.
-    S_pairs = jnp.einsum("moik,mpjk->mopij", Y, Wc)            # [M,O,O,6,6]
-    kf_i = jnp.clip(prob.obs_kf, 0)
-    pair_idx = (kf_i[:, :, None] * K + kf_i[:, None, :]).reshape(-1)
-    S = jax.ops.segment_sum(
-        S_pairs.reshape(-1, 6, 6), pair_idx, num_segments=K * K
-    ).reshape(K, K, 6, 6)
-
     Yb = jnp.einsum("moij,mj->moi", Y, bl)                     # [M,O,6]
-    rhs_red = bp - jax.ops.segment_sum(
-        Yb.reshape(-1, 6), kf_flat, num_segments=K)
+    if onehot:
+        B = jnp.einsum("mok,moic->mkic", A, Y)
+        C = jnp.einsum("mok,mojc->mkjc", A, Wc)
+        S = jnp.einsum("mkic,mljc->klij", B, C)
+        rhs_red = bp - jnp.einsum("mok,moi->ki", A, Yb)
+    else:
+        S_pairs = jnp.einsum("moik,mpjk->mopij", Y, Wc)        # [M,O,O,6,6]
+        pair_idx = (kf_i[:, :, None] * K + kf_i[:, None, :]).reshape(-1)
+        S = jax.ops.segment_sum(
+            S_pairs.reshape(-1, 6, 6), pair_idx, num_segments=K * K
+        ).reshape(K, K, 6, 6)
+        rhs_red = bp - jax.ops.segment_sum(
+            Yb.reshape(-1, 6), kf_flat, num_segments=K)
 
     # Assemble the damped reduced camera system over ALL K poses, then mask
     # fixed ones to identity rows/cols (keeps shapes static).
@@ -214,7 +243,8 @@ def _ba_iteration(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam):
     dx = jnp.where(free[:, None], dx, 0.0)
 
     # Back-substitute landmarks: dl = V^-1 (bl - sum_o W^T dx_{kf_o}).
-    dx_o = dx[kf_i]                                            # [M,O,6]
+    dx_o = jnp.einsum("mok,ki->moi", A, dx) if onehot \
+        else dx[kf_i]                                          # [M,O,6]
     Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx_o)               # [M,3]
     dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
     dl = jnp.where((has_obs & prob.lm_valid)[:, None], dl, 0.0)
