@@ -123,3 +123,82 @@ class TestVocabPaddedBranches:
         # all assigned words carry nonzero idf (never a padded child)
         idf = np.asarray(voc.idf)
         assert (idf[words] > 0).all(), words[idf[words] <= 0][:10]
+
+
+class TestVocabBinaryFormat:
+    def _random_tree(self, rng, k, L):
+        """(parents, is_leaf, desc[32 bytes], weight) rows of a random
+        incomplete DBoW2 tree, file-id order (ids 1..n, root 0)."""
+        rows = []
+        next_id = 1
+        frontier = []
+        for _ in range(3):                      # incomplete root: 3 of k
+            rows.append((0, 0, rng.randint(0, 256, 32), 0.0))
+            frontier.append((next_id, 1))
+            next_id += 1
+        while frontier:
+            pid, lv = frontier.pop(0)
+            if lv == L:
+                continue
+            for _ in range(rng.randint(2, k + 1)):
+                is_leaf = int(lv + 1 == L)
+                w = round(float(rng.rand() + 0.1), 4) if is_leaf else 0.0
+                rows.append((pid, is_leaf, rng.randint(0, 256, 32), w))
+                if not is_leaf:
+                    frontier.append((next_id, lv + 1))
+                next_id += 1
+        return rows
+
+    def test_binary_matches_text_loader(self, tmp_path):
+        """The same incomplete tree serialized as ORBvoc text and as
+        ORBvoc.bin must load to identical dense vocabularies
+        (TemplatedVocabulary.h:1275 record layout)."""
+        import struct
+
+        from vieo_slam_tpu.loop.vocabulary import (load_dbow_binary,
+                                                   load_dbow_text)
+
+        rng = np.random.RandomState(11)
+        k, L = 4, 3
+        rows = self._random_tree(rng, k, L)
+
+        tpath = str(tmp_path / "voc.txt")
+        with open(tpath, "w") as f:
+            f.write(f"{k} {L} 0 0\n")
+            for pid, leaf, d, w in rows:
+                f.write(f"{pid} {leaf} " + " ".join(map(str, d))
+                        + f" {w}\n")
+
+        bpath = str(tmp_path / "voc.bin")
+        with open(bpath, "wb") as f:
+            f.write(struct.pack("<IIiiii", len(rows) + 1, 41, k, L, 0, 0))
+            for pid, leaf, d, w in rows:
+                f.write(struct.pack("<i", pid)
+                        + bytes(d.tolist())
+                        + struct.pack("<f", w)
+                        + struct.pack("<?", bool(leaf)))
+
+        vt = load_dbow_text(tpath)
+        vb = load_dbow_binary(bpath)
+        assert vb.k == vt.k and vb.L == vt.L
+        np.testing.assert_array_equal(vb.node_desc, vt.node_desc)
+        np.testing.assert_allclose(vb.idf, vt.idf, rtol=1e-6)
+
+    def test_binary_roundtrip(self, tmp_path):
+        """save_dbow_binary -> load_dbow_binary reproduces a trained
+        vocabulary exactly (dense trees are complete, so no padding is
+        involved and equality is bit-for-bit)."""
+        from vieo_slam_tpu.loop.vocabulary import (load_dbow_binary,
+                                                   save_dbow_binary,
+                                                   train_vocabulary)
+
+        rng = np.random.RandomState(3)
+        desc = rng.randint(0, 2 ** 32, (400, 8), np.uint64) \
+            .astype(np.uint32)
+        voc = train_vocabulary(desc, k=3, L=3, seed=0, iters=3)
+        p = str(tmp_path / "voc.bin")
+        save_dbow_binary(voc, p)
+        voc2 = load_dbow_binary(p)
+        assert (voc2.k, voc2.L) == (voc.k, voc.L)
+        np.testing.assert_array_equal(voc2.node_desc, voc.node_desc)
+        np.testing.assert_allclose(voc2.idf, voc.idf, rtol=1e-6)

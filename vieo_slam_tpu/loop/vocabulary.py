@@ -202,7 +202,14 @@ def load_dbow_text(path: str) -> Vocabulary:
     desc_all = np.ascontiguousarray(raw).view(np.uint32)  # [n, 8]
     parents = np.asarray(parents, np.int64)
     weights = np.asarray(weights, np.float32)
+    return _dense_from_tree(k, L, parents, weights, desc_all)
 
+
+def _dense_from_tree(k: int, L: int, parents: np.ndarray,
+                     weights: np.ndarray, desc_all: np.ndarray) -> Vocabulary:
+    """Pack a DBoW2 parent-pointer node list (file node ids 1..n, root 0
+    implicit) into the dense level-major layout. Shared by the text and
+    binary loaders; see `load_dbow_text` for the padded-branch policy."""
     n = len(parents)
     children: dict[int, list[int]] = {}
     for i in range(n):
@@ -248,3 +255,71 @@ def load_dbow_text(path: str) -> Vocabulary:
     for c in range(len(roots), k):
         _pad(1, c, root_pad)
     return Vocabulary(k=k, L=L, node_desc=node_desc, idf=idf)
+
+
+# ---------------------------------------------------------------------------
+# ORBvoc.bin binary-format interop (TemplatedVocabulary.h:1275
+# loadFromBinaryFile / :1360 saveToBinaryFile): header of uint32
+# {nb_nodes, size_node} + int32 {k, L, scoring, weighting}, then one
+# packed 41-byte record per non-root node in file-id order:
+#   int32 parent | 32-byte descriptor | float32 weight | bool is_leaf
+# ---------------------------------------------------------------------------
+
+_BIN_NODE_BYTES = 4 + 32 + 4 + 1
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """Load a pretrained DBoW2 vocabulary, dispatching on extension the
+    way the reference's System bootstrap does (src/System.cc: .bin ->
+    loadFromBinaryFile, else loadFromTextFile)."""
+    if path.endswith(".bin"):
+        return load_dbow_binary(path)
+    return load_dbow_text(path)
+
+
+def load_dbow_binary(path: str) -> Vocabulary:
+    """Load an ORBvoc.bin vocabulary (the reference ships/loads this when
+    the path ends in .bin — System.cc vocabulary bootstrap)."""
+    with open(path, "rb") as f:
+        nb_nodes, size_node = np.fromfile(f, np.uint32, 2)
+        k, L, _scoring, _weighting = np.fromfile(f, np.int32, 4)
+        if size_node != _BIN_NODE_BYTES or not (0 < k <= 20) \
+                or not (1 <= L <= 10):
+            raise ValueError(
+                f"not a DBoW2 binary vocabulary: size_node={size_node}, "
+                f"k={k}, L={L}")
+        raw = np.fromfile(f, np.uint8)
+    n = int(nb_nodes) - 1             # records exclude the implicit root
+    raw = raw[: n * _BIN_NODE_BYTES].reshape(n, _BIN_NODE_BYTES)
+    parents = raw[:, :4].copy().view(np.int32).reshape(-1).astype(np.int64)
+    desc_all = np.ascontiguousarray(raw[:, 4:36]).view(np.uint32)
+    weights = raw[:, 36:40].copy().view(np.float32).reshape(-1)
+    return _dense_from_tree(int(k), int(L), parents, weights, desc_all)
+
+
+def save_dbow_binary(voc: Vocabulary, path: str):
+    """Write the vocabulary in DBoW2's binary format (level-major order,
+    parents before children, little-endian packed records)."""
+    k, L = voc.k, voc.L
+    n_nodes = k * (k ** L - 1) // (k - 1)
+    rec = np.zeros((n_nodes, _BIN_NODE_BYTES), np.uint8)
+    row = 0
+    for lv in range(1, L + 1):
+        start, end = voc.level_slice(lv)
+        pstart = voc.level_slice(lv - 1)[0] if lv > 1 else None
+        for i in range(start, end):
+            within = i - start
+            pid = 0 if lv == 1 else pstart + within // k + 1
+            rec[row, :4] = np.frombuffer(
+                np.int32(pid).tobytes(), np.uint8)
+            rec[row, 4:36] = np.frombuffer(
+                voc.node_desc[i].tobytes(), np.uint8)
+            w = float(voc.idf[within]) if lv == L else 0.0
+            rec[row, 36:40] = np.frombuffer(
+                np.float32(w).tobytes(), np.uint8)
+            rec[row, 40] = np.uint8(lv == L)
+            row += 1
+    with open(path, "wb") as f:
+        np.asarray([n_nodes + 1, _BIN_NODE_BYTES], np.uint32).tofile(f)
+        np.asarray([k, L, 0, 0], np.int32).tofile(f)
+        rec.tofile(f)
