@@ -66,6 +66,78 @@ class TestGaugeCorrection:
         np.testing.assert_allclose(m.kf_vwb[kfs], v, atol=1e-7)
 
 
+class TestCorrectionComposition:
+    """A long background GBA can finish after a loop-closure correction
+    within ONE frame gap: the tracker then receives two push_correction
+    calls before its next _apply_pending_correction. The composed
+    pending correction must equal applying the two events one frame
+    apart (the bounded-by-composition claim in the async design)."""
+
+    @staticmethod
+    def _rand_pose(rng):
+        import jax.numpy as jnp
+
+        from vieo_slam_tpu.math.lie import se3_exp
+        R, t = se3_exp(jnp.asarray(rng.randn(6) * 0.2, jnp.float32))
+        return np.asarray(R), np.asarray(t)
+
+    def _tracker(self):
+        from vieo_slam_tpu.cameras import models as cm
+        from vieo_slam_tpu.frontend.tracking import Tracker, TrackerConfig
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        m = MapState(MapConfig(max_keyframes=8, max_landmarks=32,
+                               max_kp=8))
+        return Tracker(cam, 80.0, m, TrackerConfig())
+
+    def test_double_rebase_composes(self):
+        rng = np.random.RandomState(2)
+        tr = self._tracker()
+        R0, t0 = self._rand_pose(rng)
+        # The same keyframe moves a -> b (loop correction), then b -> c
+        # (GBA write-back) before the tracker sees either.
+        Ra, ta = self._rand_pose(rng)
+        Rb, tb = self._rand_pose(rng)
+        Rc, tc = self._rand_pose(rng)
+
+        tr.Rcw, tr.tcw = R0.copy(), t0.copy()
+        tr.push_correction(Ra, ta, Rb, tb)
+        tr._apply_pending_correction()
+        tr.push_correction(Rb, tb, Rc, tc)
+        tr._apply_pending_correction()
+        R_seq, t_seq = tr.Rcw.copy(), tr.tcw.copy()
+
+        tr.Rcw, tr.tcw = R0.copy(), t0.copy()
+        tr.pending_correction = None
+        tr.push_correction(Ra, ta, Rb, tb)
+        tr.push_correction(Rb, tb, Rc, tc)
+        tr._apply_pending_correction()
+        np.testing.assert_allclose(tr.Rcw, R_seq, atol=1e-5)
+        np.testing.assert_allclose(tr.tcw, t_seq, atol=1e-5)
+
+    def test_rebase_preserves_relative_pose(self):
+        """After the composed a->c rebase, the frame's pose relative to
+        the corrected keyframe is what it was relative to the
+        uncorrected one — the invariant the reference's bMapUpdated
+        re-anchoring protects (Tracking.cc:983-990)."""
+        rng = np.random.RandomState(5)
+        tr = self._tracker()
+        R0, t0 = self._rand_pose(rng)
+        Ra, ta = self._rand_pose(rng)
+        Rb, tb = self._rand_pose(rng)
+        Rc, tc = self._rand_pose(rng)
+        rel_R = R0 @ Ra.T
+        rel_t = t0 - rel_R @ ta
+
+        tr.Rcw, tr.tcw = R0.copy(), t0.copy()
+        tr.push_correction(Ra, ta, Rb, tb)
+        tr.push_correction(Rb, tb, Rc, tc)
+        tr._apply_pending_correction()
+        rel_R2 = tr.Rcw @ Rc.T
+        rel_t2 = tr.tcw - rel_R2 @ tc
+        np.testing.assert_allclose(rel_R2, rel_R, atol=1e-5)
+        np.testing.assert_allclose(rel_t2, rel_t, atol=1e-5)
+
+
 class TestVocabPaddedBranches:
     def test_randomized_incomplete_tree_roundtrip(self, tmp_path):
         """A large randomized DBoW2 text file with INCOMPLETE branches
