@@ -55,11 +55,16 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 SCHEDULE = tuple(int(x) for x in os.environ.get(
     "BENCH_SCHEDULE", "2,2,1,2").split(","))
 OPT_MODE = os.environ.get("BENCH_OPT_MODE", "plm")
-# Batch the two stereo images through ONE vmapped ORB program: the
-# one-hot gather contractions and convs batch onto the MXU instead of
-# running as two half-sized programs.  Default off until measured
-# faster on the real chip (flip after an A/B with extract2_ms).
-BATCH_STEREO = os.environ.get("BENCH_BATCH_STEREO", "0") == "1"
+# Batch the two stereo images through ONE extraction program:
+#   "0"      two sequential per-image programs (round-2/3 default)
+#   "vmap"   whole-pipeline vmap (measured SLOWER on v5e r3 — batched
+#            one-hot gathers triple row counts without better tiling)
+#   "manual" orb.extract_orb_batch: only the image-wide VPU stages
+#            (pyramid, FAST stack, NMS, blur) batch; keypoint tail
+#            stays per-image (the r3 TODO candidate)
+_bs = os.environ.get("BENCH_BATCH_STEREO", "0")
+PAIR_MODE = {"0": "0", "1": "vmap"}.get(_bs, _bs)
+BATCH_STEREO = PAIR_MODE != "0"
 
 
 def force_real_mode():
@@ -90,8 +95,11 @@ def build_pipeline(n_features: int, slab: int = SLAB):
     scales = cfg.level_scales.astype(np.float32)
 
     extract = jax.jit(lambda im: orb.extract_orb(im, cfg))
-    extract2 = jax.jit(
-        lambda ims: jax.vmap(lambda im: orb.extract_orb(im, cfg))(ims))
+    if PAIR_MODE == "manual":
+        extract2 = jax.jit(lambda ims: orb.extract_orb_batch(ims, cfg))
+    else:
+        extract2 = jax.jit(
+            lambda ims: jax.vmap(lambda im: orb.extract_orb(im, cfg))(ims))
 
     @jax.jit
     def stereo_depth(fl, fr):
@@ -232,10 +240,13 @@ def run_stages(n_features: int, rtt: float, inputs) -> dict:
     ms["extract_ms"] = (time.time() - st - rtt) / N_FRAMES * 1e3
 
     if BATCH_STEREO:
-        # both stereo images through one vmapped program
+        # both stereo images through one batched program
         cfg2 = orb.OrbConfig(n_features=n_features, n_levels=8)
-        extract2 = jax.jit(lambda ims: jax.vmap(
-            lambda im: orb.extract_orb(im, cfg2))(ims))
+        if PAIR_MODE == "manual":
+            extract2 = jax.jit(lambda ims: orb.extract_orb_batch(ims, cfg2))
+        else:
+            extract2 = jax.jit(lambda ims: jax.vmap(
+                lambda im: orb.extract_orb(im, cfg2))(ims))
 
         @jax.jit
         def extract2_step(ims, dep):

@@ -222,3 +222,23 @@ class TestMxuGatherEquivalence:
         monkeypatch.setattr(orb, "_use_mxu_gather", lambda: True)
         d2 = orb.brief_descriptors(blur, centers, angles)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+class TestBatchExtract:
+    def test_batch_matches_per_image(self):
+        """extract_orb_batch (image-wide stages batched over the stereo
+        pair) must be bit-identical to stacking two per-image
+        extract_orb calls."""
+        img_l = textured_image(seed=3)
+        img_r = np.roll(img_l, -5, axis=1).copy()
+        cfg = orb.OrbConfig(n_features=200, n_levels=4)
+        f_l = orb.extract_orb(jnp.asarray(img_l), cfg)
+        f_r = orb.extract_orb(jnp.asarray(img_r), cfg)
+        fb = orb.extract_orb_batch(
+            jnp.asarray(np.stack([img_l, img_r])), cfg)
+        for name in ("uv", "level", "angle", "score", "desc", "valid"):
+            want = np.stack([np.asarray(getattr(f_l, name)),
+                             np.asarray(getattr(f_r, name))])
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fb, name)), want, err_msg=name)
+        assert int(f_l.n) > 50

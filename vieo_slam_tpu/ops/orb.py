@@ -126,18 +126,20 @@ class OrbFeatures(NamedTuple):
 
 
 def build_pyramid(img: jax.Array, cfg: OrbConfig) -> list[jax.Array]:
-    """[H, W] float32 -> list of per-level images (ComputePyramid).
+    """[..., H, W] float32 -> list of per-level images (ComputePyramid).
 
     Each level resizes from the PREVIOUS level (like the reference's
     cv::resize chain, ORBextractor.cc:1060) — ~30% less resampling work
-    than resizing every level from level 0."""
-    h, w = img.shape
+    than resizing every level from level 0. Leading batch dims pass
+    through (the stereo-pair extractor batches both images)."""
+    h, w = img.shape[-2:]
     levels = [img]
     for lv in range(1, cfg.n_levels):
         s = float(cfg.level_scales[lv])
         nh, nw = round(h / s), round(w / s)
         levels.append(
-            jax.image.resize(levels[-1], (nh, nw), method="bilinear")
+            jax.image.resize(levels[-1], (*img.shape[:-2], nh, nw),
+                             method="bilinear")
         )
     return levels
 
@@ -164,11 +166,13 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
     GPU-FAST scoring; deterministic ranking for NMS + top-k).
     """
     pad = 3
-    padded = jnp.pad(img, pad, mode="edge")
-    h, w = img.shape
-    # [16, H, W] circle values via static slices of the padded image.
+    padded = jnp.pad(
+        img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)],
+        mode="edge")
+    h, w = img.shape[-2:]
+    # [16, ..., H, W] circle values via static slices of the padded image.
     circ = jnp.stack(
-        [padded[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
+        [padded[..., 3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
          for dx, dy in FAST_CIRCLE]
     )
     diff = circ - img[None]
@@ -192,9 +196,12 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
 
 
 def nms3(score: jax.Array) -> jax.Array:
-    """3x3 non-maximum suppression via max-pool compare."""
+    """3x3 non-maximum suppression via max-pool compare (batch dims
+    pass through)."""
+    ones = (1,) * (score.ndim - 2)
     m = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        score, -jnp.inf, jax.lax.max, ones + (3, 3),
+        ones + (1, 1), "SAME"
     )
     return jnp.where(score >= m, score, 0.0)
 
@@ -309,11 +316,12 @@ def gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k /= k.sum()
     k = jnp.asarray(k, img.dtype)
-    pad = jnp.pad(img, 3, mode="edge")
+    nb = img.ndim - 2
+    pad = jnp.pad(img, [(0, 0)] * nb + [(3, 3), (3, 3)], mode="edge")
     # Horizontal then vertical 1-D convs (XLA fuses these fine).
-    h = sum(pad[3:-3, i:i + img.shape[1]] * k[i] for i in range(7))
-    hpad = jnp.pad(h, ((3, 3), (0, 0)), mode="edge")
-    v = sum(hpad[i:i + img.shape[0], :] * k[i] for i in range(7))
+    h = sum(pad[..., 3:-3, i:i + img.shape[-1]] * k[i] for i in range(7))
+    hpad = jnp.pad(h, [(0, 0)] * nb + [(3, 3), (0, 0)], mode="edge")
+    v = sum(hpad[..., i:i + img.shape[-2], :] * k[i] for i in range(7))
     return v
 
 
@@ -417,4 +425,63 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
         score=jnp.concatenate(scs),
         desc=jnp.concatenate(descs),
         valid=jnp.concatenate(vals),
+    )
+
+
+def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
+    """ORB on a batch of same-sized images [B, H, W] (the stereo pair).
+
+    The image-wide stages — pyramid resize, the [16, B, h, w] FAST
+    circle stack, NMS, and the descriptor blur — run batched in one
+    program, giving the VPU full tiles where two separate 375-feature
+    extractions leave it half-idle; the keypoint-level tail (selection,
+    patch gathers, BRIEF) stays per-image because its one-hot MXU
+    contractions are already square-ish (a vmap over the whole pipeline
+    measured SLOWER on v5e than two sequential programs — the batched
+    gathers triple the one-hot row count without improving tiling).
+
+    Returns OrbFeatures with a leading [B] axis on every field;
+    numerically identical to stacking per-image `extract_orb` calls.
+    """
+    B = imgs.shape[0]
+    pyramid = build_pyramid(imgs, cfg)
+    per_level = cfg.features_per_level
+
+    fields: list[list] = [[] for _ in range(B)]
+    for lv, im in enumerate(pyramid):
+        n_l = int(per_level[lv])
+        if n_l == 0:
+            continue
+        s_hi, s_lo = fast_score_maps(
+            im, (cfg.fast_threshold, cfg.fast_min_threshold))
+        score_b = nms3(s_hi)
+        score_lo_b = nms3(s_lo)
+        score_all = jnp.where(score_b > 0, score_b + 1e4, score_lo_b)
+        blur_all = gaussian_blur7(im)
+        scale = float(cfg.level_scales[lv])
+        for b in range(B):
+            uv, s, valid = select_keypoints(score_all[b], n_l, cfg)
+            if uv.shape[0] < n_l:
+                padn = n_l - uv.shape[0]
+                uv = jnp.pad(uv, ((0, padn), (0, 0)))
+                s = jnp.pad(s, (0, padn))
+                valid = jnp.pad(valid, (0, padn))
+            patches = gather_patches(im[b], uv, PATCH_RADIUS)
+            ang = ic_angle(patches)
+            desc = brief_descriptors(blur_all[b], uv, ang)
+            fields[b].append((
+                uv.astype(jnp.float32) * scale,
+                jnp.full((n_l,), lv, jnp.int32),
+                ang, jnp.where(valid, s, 0.0), desc, valid))
+
+    def cat(b, i):
+        return jnp.concatenate([t[i] for t in fields[b]])
+
+    return OrbFeatures(
+        uv=jnp.stack([cat(b, 0) for b in range(B)]),
+        level=jnp.stack([cat(b, 1) for b in range(B)]),
+        angle=jnp.stack([cat(b, 2) for b in range(B)]),
+        score=jnp.stack([cat(b, 3) for b in range(B)]),
+        desc=jnp.stack([cat(b, 4) for b in range(B)]),
+        valid=jnp.stack([cat(b, 5) for b in range(B)]),
     )
