@@ -60,8 +60,10 @@ SLAB = 4096 if not CPU_ONLY else 1024
 N_ROUNDS = int(os.environ.get("SCALE_FRAME_ROUNDS", "20"))
 
 
-def make_problem(rng, m=M):
+def make_problem(rng, m=M, K=None, O=None):
     """Synthetic global-BA problem: K poses on a circle, m landmarks."""
+    K = K if K is not None else globals()["K"]
+    O = O if O is not None else globals()["O"]
     ang = np.linspace(0, 2 * np.pi, K, endpoint=False)
     twc = np.stack([2 * np.cos(ang), 2 * np.sin(ang), np.zeros(K)], -1)
     fwd = -twc / np.linalg.norm(twc, axis=-1, keepdims=True)

@@ -73,3 +73,23 @@ class TestDistributedBA:
             assert np.linalg.norm(np.asarray(tf[k]) - t_t[k]) < 5e-2, k
         err = np.linalg.norm(np.asarray(pf)[:64] - pw_t, axis=1)
         assert np.median(err) < 6e-2
+
+
+class TestPairfillModes:
+    def test_scatter_matches_onehot(self):
+        """The segment_sum Schur fill (large-K branch) must produce the
+        same distributed step as the one-hot MXU fill."""
+        from vieo_slam_tpu.parallel import dist_ba as dba
+        cam, bf, prob, _ = make_world(K=6, M=48, O=4, noise=0.1)
+        mesh = make_ba_mesh()
+        args = (prob, cam, jnp.asarray(bf, jnp.float32),
+                prob.obs_valid, 1e-3, mesh)
+        try:
+            dba.PAIRFILL_MODE = "onehot"
+            ref = [np.asarray(x) for x in distributed_ba_step(*args)]
+            dba.PAIRFILL_MODE = "scatter"
+            got = [np.asarray(x) for x in distributed_ba_step(*args)]
+        finally:
+            dba.PAIRFILL_MODE = "auto"
+        for g, r, tol in zip(got, ref, (1e-5, 1e-4, 1e-4)):
+            np.testing.assert_allclose(g, r, atol=tol)

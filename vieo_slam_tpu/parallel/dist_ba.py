@@ -35,6 +35,21 @@ from ..solvers.lm import huber_weight
 from ..solvers.local_ba import BAProblem, _obs_terms, inv3x3
 
 
+# Schur-fill strategy: the one-hot pair fill's FLOPs scale with K^2, so
+# past a pose-count threshold the segment_sum scatter wins even where
+# scatter serializes (512-KF global BA: the scatter is O(M*O^2) writes,
+# the one-hot fill O(M*O*K^2/chunk) MXU flops). "auto" switches at
+# PAIRFILL_K_MAX; "onehot"/"scatter" force a path (tests/A-B scripts).
+PAIRFILL_MODE = "auto"
+PAIRFILL_K_MAX = 96
+
+
+def _use_onehot(K: int) -> bool:
+    if PAIRFILL_MODE == "auto":
+        return K <= PAIRFILL_K_MAX
+    return PAIRFILL_MODE == "onehot"
+
+
 def make_ba_mesh(devices=None, axis: str = "lm") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     import numpy as np
@@ -73,18 +88,27 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     obs_free = free[jnp.clip(prob.obs_kf, 0)] & use
     wp = jnp.where(obs_free, w, 0.0)
 
-    # All by-keyframe reductions run as one-hot MXU contractions: TPU
-    # scatter (segment_sum) lowers to serialized updates — the round-3
-    # TPU row measured 0.6 iters/s scatter-bound on a 65k-landmark
-    # shard; the one-hot formulation puts the same reduction on the MXU
-    # (the ops/orb.py gather lesson, applied to the Schur fill).
+    # By-keyframe reductions as one-hot MXU contractions: TPU scatter
+    # (segment_sum) lowers to serialized updates — the round-3 TPU row
+    # measured 0.6 iters/s scatter-bound on a 65k-landmark shard; the
+    # one-hot formulation puts the same reduction on the MXU (the
+    # ops/orb.py gather lesson). Past PAIRFILL_K_MAX poses the K^2 FLOP
+    # growth loses to the scatter (see module note).
+    onehot = _use_onehot(K)
     kf_i = jnp.clip(prob.obs_kf, 0)
+    kf_flat = kf_i.reshape(-1)
     A = (kf_i[..., None] == jnp.arange(K, dtype=kf_i.dtype)
-         ).astype(r.dtype)                                 # [M, O, K]
+         ).astype(r.dtype) if onehot else None             # [M, O, K]
     Hpp_d = jnp.einsum("mori,mo,morj->moij", Jp, wp, Jp)
-    Hpp = jnp.einsum("mok,moij->kij", A, Hpp_d)
-    bp = -jnp.einsum("mok,moi->ki", A,
-                     jnp.einsum("mori,mo,mor->moi", Jp, wp, r))
+    bp_o = -jnp.einsum("mori,mo,mor->moi", Jp, wp, r)
+    if onehot:
+        Hpp = jnp.einsum("mok,moij->kij", A, Hpp_d)
+        bp = jnp.einsum("mok,moi->ki", A, bp_o)
+    else:
+        Hpp = jax.ops.segment_sum(
+            Hpp_d.reshape(-1, 6, 6), kf_flat, num_segments=K)
+        bp = jax.ops.segment_sum(
+            bp_o.reshape(-1, 6), kf_flat, num_segments=K)
 
     V = jnp.einsum("mori,mo,morj->mij", Jl, w, Jl)
     bl = -jnp.einsum("mori,mo,mor->mi", Jl, w, r)
@@ -105,29 +129,43 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     Ms, O = kf_i.shape
     # chunk sized so the [chunk, K, 6, 3] accumulators stay ~<=64 MB
     # even at global-BA K (the pair fill's FLOPs scale with K^2 — for
-    # K >> 64 a block-sparse fill would win; window BA has K <= ~48)
+    # K > PAIRFILL_K_MAX the scatter branch below takes over)
     chunk = int(min(8192, max(256, (1 << 26) // (72 * max(K, 1)))))
     chunk = min(chunk, Ms)
     n_ch = -(-Ms // chunk)
     padM = n_ch * chunk - Ms
-    Yr = jnp.pad(Y, ((0, padM), (0, 0), (0, 0), (0, 0))).reshape(
-        n_ch, chunk, O, 6, 3)
-    Wr = jnp.pad(Wc, ((0, padM), (0, 0), (0, 0), (0, 0))).reshape(
-        n_ch, chunk, O, 6, 3)
-    Ar = jnp.pad(A, ((0, padM), (0, 0), (0, 0))).reshape(
-        n_ch, chunk, O, K)
 
-    def s_chunk(S_acc, args):
-        Yc, Wcc, Ac = args
-        B = jnp.einsum("mok,moic->mkic", Ac, Yc)       # [chunk, K, 6, 3]
-        C = jnp.einsum("mok,mojc->mkjc", Ac, Wcc)
-        return S_acc + jnp.einsum("mkic,mljc->klij", B, C), None
+    def _chunked(x):
+        pads = ((0, padM),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, pads).reshape(n_ch, chunk, *x.shape[1:])
 
-    # the carry is shard-local (varying over the mesh axis)
+    Yb = jnp.einsum("moij,mj->moi", Y, bl)             # [M, O, 6]
+    # the scan carry is shard-local (varying over the mesh axis)
     S0 = jax.lax.pvary(jnp.zeros((K, K, 6, 6), Y.dtype), (axis,))
-    S, _ = jax.lax.scan(s_chunk, S0, (Yr, Wr, Ar))
-    rhs = bp - jnp.einsum("mok,moi->ki", A,
-                          jnp.einsum("moij,mj->moi", Y, bl))
+    if onehot:
+        def s_chunk(S_acc, args):
+            Yc, Wcc, Ac = args
+            B = jnp.einsum("mok,moic->mkic", Ac, Yc)   # [chunk, K, 6, 3]
+            C = jnp.einsum("mok,mojc->mkjc", Ac, Wcc)
+            return S_acc + jnp.einsum("mkic,mljc->klij", B, C), None
+
+        S, _ = jax.lax.scan(
+            s_chunk, S0, (_chunked(Y), _chunked(Wc), _chunked(A)))
+        rhs = bp - jnp.einsum("mok,moi->ki", A, Yb)
+    else:
+        pair_idx = (kf_i[:, :, None] * K + kf_i[:, None, :])   # [M, O, O]
+
+        def s_chunk(S_acc, args):
+            Yc, Wcc, pc = args
+            Sp = jnp.einsum("moik,mpjk->mopij", Yc, Wcc)
+            return S_acc + jax.ops.segment_sum(
+                Sp.reshape(-1, 6, 6), pc.reshape(-1),
+                num_segments=K * K).reshape(K, K, 6, 6), None
+
+        S, _ = jax.lax.scan(
+            s_chunk, S0, (_chunked(Y), _chunked(Wc), _chunked(pair_idx)))
+        rhs = bp - jax.ops.segment_sum(
+            Yb.reshape(-1, 6), kf_flat, num_segments=K)
 
     # --- the one collective: reduce the camera system over ICI ---
     Hpp = jax.lax.psum(Hpp, axis)
@@ -145,7 +183,10 @@ def _partial_schur(Rcw, tcw, pw, prob: BAProblem, cam, bf, active, lam,
     rhs_masked = rhs.reshape(-1) * fm
     dx = jnp.linalg.solve(S_masked, rhs_masked).reshape(K, 6)
     dx = jnp.where(free[:, None], dx, 0.0)
-    return dx, V_inv, bl, Wc, has_obs, A
+    # Per-observation pose step for landmark back-substitution: one-hot
+    # contraction where A exists, plain gather otherwise.
+    dx_o = jnp.einsum("mok,ki->moi", A, dx) if onehot else dx[kf_i]
+    return dx, dx_o, V_inv, bl, Wc, has_obs
 
 
 def distributed_ba_step(prob: BAProblem, cam: cm.Camera, bf,
@@ -169,9 +210,8 @@ def distributed_ba_step(prob: BAProblem, cam: cm.Camera, bf,
         out_specs=(P(), P(), P(axis)),
     )
     def step(p: BAProblem, active_l, lam_l):
-        dx, V_inv, bl, Wc, has_obs, A = _partial_schur(
+        dx, dx_o, V_inv, bl, Wc, has_obs = _partial_schur(
             p.Rcw, p.tcw, p.pw, p, cam, bf, active_l, lam_l, axis)
-        dx_o = jnp.einsum("mok,ki->moi", A, dx)   # one-hot, not gather
         Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx_o)
         dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
         dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
@@ -205,7 +245,7 @@ def _dba_key(prob, cam, mesh, iters, axis, init_lambda):
     import numpy as _np
     return (
         tuple(d.id for d in mesh.devices.flat), axis, int(iters),
-        float(init_lambda),
+        float(init_lambda), PAIRFILL_MODE, PAIRFILL_K_MAX,
         tuple((tuple(a.shape), str(a.dtype)) for a in prob),
         tuple(_np.asarray(leaf).tobytes()
               for leaf in jax.tree.leaves(cam)),
@@ -254,10 +294,9 @@ def _build_dba(cam, bf, mesh, iters, axis, init_lambda, dtype):
         def body(carry, _):
             Rcw, tcw, pw, lam, cost = carry
             p = p0._replace(Rcw=Rcw, tcw=tcw, pw=pw)
-            dx, V_inv, bl, Wc, has_obs, A = _partial_schur(
+            dx, dx_o, V_inv, bl, Wc, has_obs = _partial_schur(
                 Rcw, tcw, pw, p, cam, bf, active_l, lam, axis)
-            Wt_dx = jnp.einsum(
-                "moij,moi->mj", Wc, jnp.einsum("mok,ki->moi", A, dx))
+            Wt_dx = jnp.einsum("moij,moi->mj", Wc, dx_o)
             dl = jnp.einsum("mij,mj->mi", V_inv, bl - Wt_dx)
             dl = jnp.where((has_obs & p.lm_valid)[:, None], dl, 0.0)
             dRs, dts = lie.se3_exp(dx)
