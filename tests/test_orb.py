@@ -242,3 +242,24 @@ class TestBatchExtract:
             np.testing.assert_array_equal(
                 np.asarray(getattr(fb, name)), want, err_msg=name)
         assert int(f_l.n) > 50
+
+
+class TestPallasFast:
+    def test_fused_kernel_matches_xla(self):
+        """pallas_fast.fast_nms_blend (interpret mode on CPU) must equal
+        the XLA fast_score_maps + nms3 + blend composition bit-for-bit,
+        including at non-tile-aligned shapes and image borders."""
+        from vieo_slam_tpu.ops.pallas_fast import fast_nms_blend
+        rng = np.random.RandomState(2)
+        for (h, w) in ((120, 160), (67, 93)):
+            img = rng.rand(h, w).astype(np.float32) * 220 + 10
+            ys = rng.randint(2, h - 2, 120)
+            xs = rng.randint(2, w - 2, 120)
+            img[ys, xs] = 255.0
+            th, tl = 20.0, 7.0
+            s_hi, s_lo = orb.fast_score_maps(jnp.asarray(img), (th, tl))
+            nh, nl = orb.nms3(s_hi), orb.nms3(s_lo)
+            want = np.asarray(jnp.where(nh > 0, nh + 1e4, nl))
+            got = np.asarray(fast_nms_blend(jnp.asarray(img), th, tl,
+                                            interpret=True))
+            np.testing.assert_array_equal(got, want, err_msg=str((h, w)))

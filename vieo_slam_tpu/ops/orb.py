@@ -195,6 +195,40 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
     return out
 
 
+# FAST+NMS+blend backend: "auto" uses the fused Pallas kernel on TPU
+# (ops/pallas_fast — one HBM round-trip instead of the [16,H,W] circle
+# stack); "on"/"off" force a path. Validated on v5e (2026-08-19,
+# scripts/validate_pallas_fast.py): correct at every pyramid shape
+# (1-ulp score drift from summation order, keypoint selection overlap
+# 1.0000) and 1.97x faster STANDALONE at 480x752 (0.43 vs 0.85 ms) —
+# but a wash inside the full extract program (1.648 vs 1.658 ms at
+# 1200 feats): XLA already fuses the blend chain with the pyramid/blur
+# stages there, so the default stays "off" and the kernel remains an
+# equivalence-tested fallback for shapes XLA fuses poorly.
+FAST_KERNEL_MODE = "off"
+
+
+def _use_pallas_fast() -> bool:
+    if FAST_KERNEL_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return FAST_KERNEL_MODE == "on"
+
+
+def _blended_score(im: jax.Array, cfg: "OrbConfig") -> jax.Array:
+    """Strict/permissive blended, NMS'd FAST score map (the selection
+    input of extract_orb): iniThFAST winners boosted above every
+    minThFAST score, reference ORBextractor.cc per-cell fallback."""
+    if _use_pallas_fast():
+        from . import pallas_fast
+        return pallas_fast.fast_nms_blend(
+            im, cfg.fast_threshold, cfg.fast_min_threshold)
+    s_hi, s_lo = fast_score_maps(
+        im, (cfg.fast_threshold, cfg.fast_min_threshold))
+    score = nms3(s_hi)
+    score_lo = nms3(s_lo)
+    return jnp.where(score > 0, score + 1e4, score_lo)
+
+
 def nms3(score: jax.Array) -> jax.Array:
     """3x3 non-maximum suppression via max-pool compare (batch dims
     pass through)."""
@@ -392,14 +426,10 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
         n_l = int(per_level[lv])
         if n_l == 0:
             continue
-        s_hi, s_lo = fast_score_maps(
-            im, (cfg.fast_threshold, cfg.fast_min_threshold))
-        score = nms3(s_hi)
-        # Fallback to the permissive threshold where the strict one found
-        # nothing (reference iniThFAST->minThFAST per cell); blending maps
-        # keeps selection fixed-shape.
-        score_lo = nms3(s_lo)
-        score = jnp.where(score > 0, score + 1e4, score_lo)
+        # Strict threshold with permissive fallback (reference
+        # iniThFAST->minThFAST per cell); blended maps keep selection
+        # fixed-shape. Fused Pallas kernel on TPU, XLA elsewhere.
+        score = _blended_score(im, cfg)
         uv, s, valid = select_keypoints(score, n_l, cfg)
         if uv.shape[0] < n_l:  # tiny levels: pad capacity
             padn = n_l - uv.shape[0]
@@ -452,11 +482,18 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
         n_l = int(per_level[lv])
         if n_l == 0:
             continue
-        s_hi, s_lo = fast_score_maps(
-            im, (cfg.fast_threshold, cfg.fast_min_threshold))
-        score_b = nms3(s_hi)
-        score_lo_b = nms3(s_lo)
-        score_all = jnp.where(score_b > 0, score_b + 1e4, score_lo_b)
+        if _use_pallas_fast():
+            from . import pallas_fast
+            score_all = jnp.stack([
+                pallas_fast.fast_nms_blend(
+                    im[b], cfg.fast_threshold, cfg.fast_min_threshold)
+                for b in range(B)])
+        else:
+            s_hi, s_lo = fast_score_maps(
+                im, (cfg.fast_threshold, cfg.fast_min_threshold))
+            score_b = nms3(s_hi)
+            score_lo_b = nms3(s_lo)
+            score_all = jnp.where(score_b > 0, score_b + 1e4, score_lo_b)
         blur_all = gaussian_blur7(im)
         scale = float(cfg.level_scales[lv])
         for b in range(B):
