@@ -66,7 +66,11 @@ def run_once(scenario: str, seed: int, n_frames: int):
     Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.35,
                                            look_outward=True)
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
-    ocfg = orb.OrbConfig(n_features=600, n_levels=4)
+    # mono has no direct depth: it lives on cross-frame matching, so it
+    # runs with the reference's mono feature budget (EuRoC mono yaml:
+    # ORBextractor.nFeatures 1000; stereo modes keep 600 for runtime)
+    ocfg = orb.OrbConfig(n_features=1000 if scenario == "mono" else 600,
+                         n_levels=4)
     rng = np.random.RandomState(seed)
 
     # KB8 rig (multicam scenario)
@@ -85,8 +89,13 @@ def run_once(scenario: str, seed: int, n_frames: int):
     scfg = SystemConfig(tracker=TrackerConfig(use_predicted_scale=True),
                         async_mapping=(scenario == "stereo_async"))
     sys_ = System(cam, bf, scfg)
-    sys_.loop_closer = LoopCloser(cam, bf, sys_.map,
-                                  LoopClosingConfig(min_kf_gap=8))
+    # mono: Sim3 loop closure with FREE scale (the reference's
+    # mbFixScale = sensor != MONOCULAR) — mono scale drift is exactly
+    # what the 7-DoF closure must absorb.
+    sys_.loop_closer = LoopCloser(
+        cam, bf, sys_.map,
+        LoopClosingConfig(min_kf_gap=8,
+                          fix_scale=(scenario != "mono")))
     vio = None
     veo = None
     enc = imu = None

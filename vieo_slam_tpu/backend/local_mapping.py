@@ -42,13 +42,23 @@ class LocalMappingConfig:
     kf_cull_max_per_pass: int = 1   # at most N culled per new KF
     kf_cull_min_age: int = 6        # never cull the most recent KFs
     kf_cull_min_map: int = 16       # keep small maps intact
+    # Never cull a KF whose removal leaves a temporal hole longer than
+    # this between its chain neighbours (seconds). The reference relies
+    # on its scale condition to keep a skeleton; a slow rig revisiting
+    # one texture-rich region can still serially cull an entire
+    # trajectory arc (observed: mono circle kept KFs only at t<3.6 and
+    # the revisit, a 15 s hole no GBA can bridge). Applies to vision;
+    # VIO additionally bounds the gap by vio_timespan_cap.
+    kf_cull_max_gap: float = 2.0
 
 
 # A single jitted BA entry per padded shape; the pad sizes keep the number
 # of compiled variants small across a run.
 @functools.partial(jax.jit, static_argnames=("stage_iters",))
-def _ba_jit(prob: BAProblem, cam: cm.Camera, bf, stage_iters=(5, 10)):
-    return local_ba(prob, cam, bf, stage_iters=stage_iters)
+def _ba_jit(prob: BAProblem, cam: cm.Camera, bf, stage_iters=(5, 10),
+            init_active=None):
+    return local_ba(prob, cam, bf, stage_iters=stage_iters,
+                    init_active=init_active)
 
 
 class LocalMapper:
@@ -381,13 +391,18 @@ class LocalMapper:
             # between (a mid-solve forceStop like g2o's, at stage
             # granularity).
             res = None
+            active = None
             for it in stage_iters:
                 if aborted():
                     return False
                 res = _ba_jit(prob, self.cam,
                               jnp.asarray(self.bf, jnp.float32),
-                              stage_iters=(it,))
+                              stage_iters=(it,), init_active=active)
                 prob = prob._replace(Rcw=res.Rcw, tcw=res.tcw, pw=res.pw)
+                # carry the outlier classification into the next chunk —
+                # re-entering with all observations active would undo the
+                # chi2 gate between the reference's two GBA stages
+                active = res.obs_inlier
             Rcw = np.asarray(res.Rcw)[:K]
             tcw = np.asarray(res.tcw)[:K]
             pw = np.asarray(res.pw)[:M]
@@ -518,19 +533,32 @@ class LocalMapper:
             if n_culled >= self.cfg.kf_cull_max_per_pass:
                 break
             prev, nxt = int(m.kf_prev[kf]), int(m.kf_next[kf])
-            if self.vio_active:
-                if prev < 0 or nxt < 0:
-                    continue
+            if prev >= 0 and nxt >= 0:
                 gap = m.kf_timestamp[nxt] - m.kf_timestamp[prev]
-                if gap > self.vio_timespan_cap:
+                cap = min(self.vio_timespan_cap, self.cfg.kf_cull_max_gap) \
+                    if self.vio_active else self.cfg.kf_cull_max_gap
+                if gap > cap:
                     continue
-            lms = m.kf_lm_idx[kf]
-            lms = lms[lms >= 0]
+            elif self.vio_active:
+                continue
+            kp_sel = np.nonzero(m.kf_lm_idx[kf] >= 0)[0]
+            lms = m.kf_lm_idx[kf, kp_sel]
             if lms.size == 0:
                 m.erase_keyframe(int(kf))
                 n_culled += 1
                 continue
-            redundant = (m.lm_n_obs[lms] >= 4).mean()
+            # Scale-aware redundancy (KeyFrameCulling, LocalMapping.cc:383):
+            # a landmark counts as redundant only if >=3 OTHER keyframes
+            # observe it at the same or finer octave (level <= level+1).
+            # The pure-count rule culled serially around texture-rich
+            # scenes: every landmark hits 4 observations in a few frames.
+            obs_kf, obs_kp = m.landmark_observations(lms)
+            lev = m.kf_level[np.clip(obs_kf, 0, None),
+                             np.clip(obs_kp, 0, None)]
+            lvl_self = m.kf_level[kf, kp_sel]
+            others = (obs_kf >= 0) & (obs_kf != kf)
+            cnt = (others & (lev <= lvl_self[:, None] + 1)).sum(axis=1)
+            redundant = (cnt >= 3).mean()
             if redundant > self.cfg.kf_cull_redundancy:
                 m.erase_keyframe(int(kf))
                 n_culled += 1

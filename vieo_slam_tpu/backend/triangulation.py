@@ -38,7 +38,13 @@ def triangulate_pair(
     cam: cm.Camera,
     *,
     max_dist: int = matching.TH_LOW,
-    ratio: float = 0.8,
+    # NO Lowe ratio: ORBmatcher::SearchForTriangulation accepts the best
+    # match under TH_LOW + the epipolar gate without a second-best test
+    # (ORBmatcher.cc SearchForTriangulation, bestDist<TH_LOW) — repeated
+    # texture is disambiguated by the epipolar line, and the ratio test
+    # was halving mono landmark creation (53 -> 116 matches/pair
+    # measured), starving the map until tracking died.
+    ratio: float = 1.0,
     epipolar_sigma: float = 3.84,
     min_parallax_cos: float = 0.9998,
     max_depth: float = 60.0,

@@ -265,9 +265,13 @@ def local_ba(
     *,
     stage_iters: tuple = (5, 10),
     init_lambda: float = 1e-4,
+    init_active=None,
 ) -> BAResult:
     """Run the two-stage robust BA (5 iters, reclassify, 10 iters) as one
-    jitted program. `stage_iters` mirrors the reference schedule."""
+    jitted program. `stage_iters` mirrors the reference schedule.
+    `init_active` seeds the inlier mask (callers that split a long solve
+    into abort-checkable chunks pass the previous chunk's obs_inlier so
+    the outlier classification carries across chunks)."""
     bf = jnp.asarray(bf, prob.tcw.dtype)
 
     def lm_stage(Rcw, tcw, pw, active, n_iters):
@@ -292,7 +296,8 @@ def local_ba(
         return Rcw, tcw, pw, cost
 
     Rcw, tcw, pw = prob.Rcw, prob.tcw, prob.pw
-    active = jnp.ones_like(prob.obs_valid)
+    active = (jnp.ones_like(prob.obs_valid) if init_active is None
+              else init_active)
     cost = jnp.asarray(0.0, tcw.dtype)
     for n in stage_iters:
         Rcw, tcw, pw, cost = lm_stage(Rcw, tcw, pw, active, n)
