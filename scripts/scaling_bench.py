@@ -214,6 +214,24 @@ def main():
               flush=True)
     result[f"{prefix}_frontend_frames_per_s"] = {
         "feats": FEATS, "hw": [FH, FW], **fcurve}
+
+    # Problem-size sweep: per-device work vs fixed psum/solve cost — the
+    # speedup at max devices should IMPROVE with M (the K=32 camera
+    # system reduce+solve is a constant ~per-iteration floor).
+    if os.environ.get("SCALE_SWEEP", "0") == "1" and devs >= 2:
+        n_hi = min(8, devs)
+        sweep = {}
+        for m in (16384, 65536, 262144):
+            p, c = make_problem(np.random.RandomState(2), m=m)
+            one = time_ba(p, c, 1)
+            many = time_ba(p, c, n_hi)
+            sweep[str(m)] = {
+                "1": round(one, 3), str(n_hi): round(many, 3),
+                "speedup": round(many / max(one, 1e-9), 2)}
+            print(f"sweep M={m}: 1 dev {one:.3f} it/s, "
+                  f"{n_hi} dev {many:.3f} it/s "
+                  f"({many / one:.2f}x)", flush=True)
+        result[f"{prefix}_ba_sweep_by_M"] = sweep
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING_r03.json")
     prev = {}
