@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -205,7 +206,9 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
 # 1200 feats): XLA already fuses the blend chain with the pyramid/blur
 # stages there, so the default stays "off" and the kernel remains an
 # equivalence-tested fallback for shapes XLA fuses poorly.
-FAST_KERNEL_MODE = "off"
+# ORB_FAST_KERNEL overrides for A/Bs (the image-wide FAST/blend share
+# grows as the feature budget shrinks, so the crossover is per-config).
+FAST_KERNEL_MODE = os.environ.get("ORB_FAST_KERNEL", "off")
 
 
 def _use_pallas_fast() -> bool:
