@@ -201,14 +201,16 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
 # stack); "on"/"off" force a path. Validated on v5e (2026-08-19,
 # scripts/validate_pallas_fast.py): correct at every pyramid shape
 # (1-ulp score drift from summation order, keypoint selection overlap
-# 1.0000) and 1.97x faster STANDALONE at 480x752 (0.43 vs 0.85 ms) —
-# but a wash inside the full extract program (1.648 vs 1.658 ms at
-# 1200 feats): XLA already fuses the blend chain with the pyramid/blur
-# stages there, so the default stays "off" and the kernel remains an
-# equivalence-tested fallback for shapes XLA fuses poorly.
+# 1.0000) and 1.97x faster STANDALONE at 480x752 (0.43 vs 0.85 ms).
+# Inside the full extract program it was a wash at the August-19
+# measurement, but the 2026-08-20 full-frame A/B (bench.py, 60-frame
+# chains, two runs each way) shows a consistent win once the rest of
+# the pipeline got faster: 375-feat frame 3.67 -> 3.49/3.52 ms (3.15x
+# of the reference 11 ms), 1200-feat 5.38 -> 5.18/5.20 ms (6.76x of
+# 35 ms) — so the default is now "auto" (Pallas on TPU, XLA elsewhere).
 # ORB_FAST_KERNEL overrides for A/Bs (the image-wide FAST/blend share
 # grows as the feature budget shrinks, so the crossover is per-config).
-FAST_KERNEL_MODE = os.environ.get("ORB_FAST_KERNEL", "off")
+FAST_KERNEL_MODE = os.environ.get("ORB_FAST_KERNEL", "auto")
 
 
 def _use_pallas_fast() -> bool:
