@@ -323,7 +323,7 @@ def _arm_watchdog(seconds: float):
     return done
 
 
-def main():
+def bench_main():
     watchdog = _arm_watchdog(240.0)
     force_real_mode()
     watchdog.set()                 # device answered; disarm
@@ -344,6 +344,73 @@ def main():
         "mfu_est": round(estimate_mfu(ms_1200, 1200), 4),
         **stages,
     }))
+
+
+# ---------------------------------------------------------------------------
+# Relay-outage supervision (round-3 lesson: BENCH_r03.json recorded a
+# 240 s watchdog failure for a number that measured fine minutes later —
+# the axon tunnel drops for minutes at a time and succeeds on retry, so
+# one attempt must never be the round's official perf record).
+# ---------------------------------------------------------------------------
+
+
+def _probe_device(timeout_s: float = 40.0) -> bool:
+    """Relay-health probe in a THROWAWAY subprocess: a hung
+    jax.devices() cannot be cancelled in-process, so ask a child."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, env=os.environ.copy(),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    """Probe-retry supervisor: run the measurement in a child process
+    (so a mid-run relay hang is killable by exact PID), retrying across
+    outage windows; only the LAST failure becomes the official record."""
+    import subprocess
+    import sys
+    if os.environ.get("VIEO_BENCH_CHILD") == "1":
+        bench_main()
+        return
+    attempts = max(1, int(os.environ.get("BENCH_RETRIES", "3")))
+    env = dict(os.environ, VIEO_BENCH_CHILD="1")
+    for i in range(attempts):
+        last = i == attempts - 1
+        if not _probe_device():
+            print(f"# bench: relay probe timed out "
+                  f"(attempt {i + 1}/{attempts})", file=sys.stderr,
+                  flush=True)
+            if not last:
+                time.sleep(45.0)
+                continue
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=900.0, stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench: child run timed out "
+                  f"(attempt {i + 1}/{attempts})", file=sys.stderr,
+                  flush=True)
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            print(r.stdout.strip().splitlines()[-1], flush=True)
+            return
+        print(f"# bench: child rc={r.returncode} "
+              f"(attempt {i + 1}/{attempts})", file=sys.stderr, flush=True)
+        if not last:
+            time.sleep(30.0)
+    print(json.dumps({
+        "metric": "frontend_ms_per_frame", "value": -1.0, "unit": "ms",
+        "vs_baseline": 0.0,
+        "error": f"TPU relay unresponsive across {attempts} attempts"}),
+        flush=True)
+    sys.exit(2)
 
 
 if __name__ == "__main__":

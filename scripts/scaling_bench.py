@@ -1,4 +1,4 @@
-"""Distributed scaling harness -> SCALING_r03.json.
+"""Distributed scaling harness -> SCALING_r04.json.
 
 Three measurements (BASELINE north star: frames/s and BA iters/s at
 1 chip / 1 host / N hosts, >=80% efficiency to 4 hosts; the reference has
@@ -187,10 +187,12 @@ def main():
         force_real_mode()
     rng = np.random.RandomState(0)
     prob, cam = make_problem(rng)
-    result = {"problem": {"K": K, "M": M, "O": O, "iters": ITERS},
-              "platform": jax.devices()[0].platform}
     devs = len(jax.devices())
     prefix = "cpu_mesh" if CPU_ONLY else "tpu"
+    # platform recorded PER PREFIX: a shared "platform" key was clobbered
+    # by whichever run merged last, mislabelling the other run's rows.
+    result = {"problem": {"K": K, "M": M, "O": O, "iters": ITERS},
+              f"{prefix}_platform": jax.devices()[0].platform}
     curve, ideal, eff, fcurve = {}, {}, {}, {}
     for n in (1, 2, 4, 8):
         if n > devs:
@@ -233,7 +235,7 @@ def main():
                   f"({many / one:.2f}x)", flush=True)
         result[f"{prefix}_ba_sweep_by_M"] = sweep
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r03.json")
+        os.path.abspath(__file__))), os.environ.get("SCALE_OUT", "SCALING_r04.json"))
     prev = {}
     if os.path.exists(out_path):
         with open(out_path) as f:

@@ -225,7 +225,7 @@ class TestMxuGatherEquivalence:
 
 
 class TestFusedTail:
-    def test_fused_tail_matches_unfused(self, monkeypatch):
+    def test_fused_tail_matches_unfused(self):
         """extract_tail_fused (one 53x53 raw-patch gather, in-patch blur,
         in-patch BRIEF taps) vs the unfused two-gather + whole-image-blur
         path: angles exact; descriptor bits may flip only at FMA-
@@ -247,6 +247,38 @@ class TestFusedTail:
         diff_bits = np.unpackbits(
             (np.asarray(d0) ^ np.asarray(d1)).view(np.uint8)).sum()
         assert diff_bits <= 0.005 * d0.size * 32, diff_bits
+
+    def test_fused_tail_border_keypoints_bounded_drift(self):
+        """Keypoints at the detector border (cfg.border=19, inside the
+        _TAIL_R=26 halo) take the clamp-then-blur path: the out-of-image
+        Gaussian taps see edge-replicated pixels instead of blur-then-
+        clamp. Angles stay exact (the 31x31 IC-angle window, radius 15,
+        is fully inside at border 19); descriptors may drift only in
+        the few taps whose 47x47 blurred window crosses the edge —
+        gate the drift well under matching noise."""
+        H, W = 120, 160
+        rng = np.random.RandomState(7)
+        img = jnp.asarray(rng.rand(H, W).astype(np.float32) * 255)
+        b = 19                      # cfg.border default
+        xs = np.concatenate([np.full(15, b), np.full(15, W - 1 - b),
+                             rng.randint(b, W - b, 30)])
+        ys = np.concatenate([rng.randint(b, H - b, 30),
+                             np.full(15, b), np.full(15, H - 1 - b)])
+        centers = jnp.asarray(np.stack([xs, ys], -1).astype(np.int32))
+        patches = orb.gather_patches(img, centers, orb.PATCH_RADIUS)
+        ang0 = orb.ic_angle(patches)
+        d0 = orb.brief_descriptors(orb.gaussian_blur7(img), centers, ang0)
+        ang1, d1 = orb.extract_tail_fused(img, centers)
+        np.testing.assert_allclose(np.asarray(ang0), np.asarray(ang1),
+                                   atol=1e-6)
+        # Per-descriptor drift bound: a handful of edge-tap bit flips is
+        # invisible to Hamming matching (thresholds 50-60 of 256); gate
+        # at <=16 bits for border keypoints, aggregate <=2%.
+        diff = np.unpackbits((np.asarray(d0) ^ np.asarray(d1))
+                             .view(np.uint8).reshape(len(xs), -1), axis=1)
+        per_kp = diff.sum(axis=1)
+        assert per_kp.max() <= 16, per_kp.max()
+        assert per_kp.sum() <= 0.02 * d0.size * 32, per_kp.sum()
 
 
 class TestBatchExtract:

@@ -210,7 +210,20 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
 # 35 ms) — so the default is now "auto" (Pallas on TPU, XLA elsewhere).
 # ORB_FAST_KERNEL overrides for A/Bs (the image-wide FAST/blend share
 # grows as the feature budget shrinks, so the crossover is per-config).
-FAST_KERNEL_MODE = os.environ.get("ORB_FAST_KERNEL", "auto")
+
+
+def _env_mode(name: str) -> str:
+    """Validated auto/on/off env switch: these gate TPU numerics and
+    performance, so a typo ('ON', 'true') must fail loudly instead of
+    silently disabling the kernel."""
+    v = os.environ.get(name, "auto").strip().lower()
+    if v not in ("auto", "on", "off"):
+        raise ValueError(
+            f"{name}={os.environ.get(name)!r}: expected auto|on|off")
+    return v
+
+
+FAST_KERNEL_MODE = _env_mode("ORB_FAST_KERNEL")
 
 
 def _use_pallas_fast() -> bool:
@@ -440,7 +453,7 @@ def brief_from_patches(patches: jax.Array, angles: jax.Array) -> jax.Array:
 # descriptor-bit drift (bf16-quantization ties); full-frame bench
 # 375-feat 3.47 -> 3.36 ms (3.27x of the reference 11 ms), 1200-feat
 # 5.17 -> 5.09 ms (6.88x of 35 ms).
-FUSED_TAIL_MODE = os.environ.get("ORB_FUSED_TAIL", "auto")
+FUSED_TAIL_MODE = _env_mode("ORB_FUSED_TAIL")
 _BLUR_HALO = 3
 _TAIL_R = BRIEF_R + _BLUR_HALO           # 26 -> 53x53 raw patch
 
