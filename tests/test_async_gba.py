@@ -63,6 +63,57 @@ class TestGbaAbort:
         assert ok is True
 
 
+class _AbortAfterNChecks:
+    """Event stand-in that flips to set after N is_set() polls —
+    deterministically lands the abort BETWEEN solve chunks."""
+
+    def __init__(self, n):
+        self.n = n
+        self.calls = 0
+
+    def is_set(self):
+        self.calls += 1
+        return self.calls > self.n
+
+
+class TestDistributedGbaAbort:
+    """The distributed GBA route must be abortable mid-solve like the
+    single-device chunked path (the reference's mnFullBAIdx protocol,
+    LoopClosing.cc:504-516): one uninterruptible iters=sum(stages) call
+    at 512-KF scale is exactly the mapping outage the abort exists to
+    prevent."""
+
+    def test_mid_solve_abort_discards_result(self):
+        sys_, _ = _build_small_map()
+        m = sys_.map
+        R_before = m.kf_Rcw.copy()
+        t_before = m.kf_tcw.copy()
+        pw_before = m.lm_pw.copy()
+        # pre-set abort poll passes, the between-chunk poll aborts
+        ev = _AbortAfterNChecks(1)
+        ok = sys_.mapper.run_global_ba(abort=ev, distributed=True,
+                                       stage_iters=(2, 3))
+        assert ok is False
+        assert ev.calls >= 2          # the between-chunk check ran
+        np.testing.assert_array_equal(m.kf_Rcw, R_before)
+        np.testing.assert_array_equal(m.kf_tcw, t_before)
+        np.testing.assert_array_equal(m.lm_pw, pw_before)
+
+    def test_unaborted_distributed_gba_improves_map(self):
+        sys_, (ts, twc) = _build_small_map()
+        m = sys_.map
+        with m.lock:
+            m.kf_tcw[m.keyframe_ids()[1:]] += np.float32(0.01)
+        ok = sys_.mapper.run_global_ba(abort=threading.Event(),
+                                       distributed=True,
+                                       stage_iters=(3, 3))
+        assert ok is True
+        kfs = m.keyframe_ids()
+        p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
+        res = ate(m.kf_timestamp[kfs], p, ts, twc)
+        assert res["rmse"] < 0.02, res
+
+
 class TestGbaPropagation:
     def test_during_solve_keyframes_and_landmarks_follow(self):
         """Simulate a GBA whose solve window saw an older map: snapshot,

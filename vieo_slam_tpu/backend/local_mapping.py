@@ -380,12 +380,27 @@ class LocalMapper:
                     obs_inv_sigma2=padm(prob.obs_inv_sigma2, 1.0),
                     obs_valid=padm(prob.obs_valid, False))
             mesh = make_ba_mesh()
-            Rcw, tcw, pw = distributed_ba(
-                prob, self.cam, jnp.asarray(self.bf, jnp.float32), mesh,
-                iters=sum(stage_iters))
-            Rcw = np.asarray(Rcw)[:K]
-            tcw = np.asarray(tcw)[:K]
-            pw = np.asarray(pw)[:M]
+            # Chunked like the single-device branch: one distributed
+            # solve per stage with the abort flag checked in between —
+            # a loop closure during a 512-KF distributed GBA must be
+            # able to supersede it (the reference's mnFullBAIdx abort,
+            # LoopClosing.cc:504-516); the r3 single uninterruptible
+            # iters=sum(stage_iters) call was the exact mapping outage
+            # that protocol exists to prevent.  (Unlike the chunked
+            # single-device path the chi2 classification is not carried
+            # across chunks — distributed_ba re-derives robust weights
+            # from its Huber loss each iteration.)
+            out = None
+            for it in stage_iters:
+                if aborted():
+                    return False
+                out = distributed_ba(
+                    prob, self.cam, jnp.asarray(self.bf, jnp.float32),
+                    mesh, iters=it)
+                prob = prob._replace(Rcw=out[0], tcw=out[1], pw=out[2])
+            Rcw = np.asarray(out[0])[:K]
+            tcw = np.asarray(out[1])[:K]
+            pw = np.asarray(out[2])[:M]
         else:
             # Chunked solve: one jitted stage per chunk, abort checked in
             # between (a mid-solve forceStop like g2o's, at stage

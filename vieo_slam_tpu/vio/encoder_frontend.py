@@ -55,6 +55,18 @@ class EncoderConfig:
     # preintegration can't out-vote vision
     min_sigma_rot: float = 2e-3      # rad
     min_sigma_trans: float = 2e-3    # m
+    # sensor-timing robustness: delay-poll (Camera.delayForPolling,
+    # Tracking.cc:966-981) + ZOH tail fill for late wheel packets
+    delay_for_polling: float = 0.02
+    odom_gap_tol: float = 0.02
+    # Full anisotropic transport of the 6x6 preintegrated SE(2)
+    # covariance into the camera tangent (the reference's EdgeEncNavState
+    # uses the full information matrix, src/Odom/g2otypes.h:591).  A
+    # differential drive is precisely anisotropic — tight lateral/yaw,
+    # loose longitudinal under wheel slip — and the round-3 worst-axis
+    # isotropic collapse threw away the encoder's best constraint.
+    # False restores the isotropic collapse (A/B + regression tests).
+    full_cov: bool = True
 
 
 class EncoderFrontend:
@@ -103,8 +115,15 @@ class EncoderFrontend:
         """Encoder dead-reckoning T_w_bj = T_w_bi · T_be · ΔT_e · T_be⁻¹
         (GetVelocityByEnc) plus the prior information for the fusion
         solve.  Returns (Rcw_pred, tcw_pred, info6) or None."""
-        ev, edts, emask, n = self.enc_ring.window(
-            t0, t1, self.cfg.window_cap)
+        from ..utils.metrics import metrics
+
+        if not self.enc_ring.wait_until(
+                t1 - self.cfg.odom_gap_tol, self.cfg.delay_for_polling):
+            metrics.count("enc_poll_timeout")
+        ev, edts, emask, n, lag = self.enc_ring.window_filled(
+            t0, t1, self.cfg.window_cap, tail_tol=self.cfg.odom_gap_tol)
+        if lag > 0:
+            metrics.count("enc_window_zoh_filled")
         if n == 0 or n > self.cfg.window_cap:
             return None
         enc = preintegrate_encoder(
@@ -122,19 +141,51 @@ class EncoderFrontend:
         R_bw = R_j.T
         Rcw = self.Rcb @ R_bw
         tcw = -Rcw @ p_j + self.tcb
-        # Conservative isotropic transport of the preintegrated
-        # covariance into the camera tangent [rho, phi]: per-block worst
-        # axis + a model-error floor.  (The exact adjoint transport of
-        # the anisotropic SE(2) covariance would also carry the plane
-        # constraint; the floor keeps us honest about extrinsic and
-        # track-width model error instead.)
-        var_phi = max(float(np.max(np.diag(cov[:3, :3]))),
-                      self.cfg.min_sigma_rot ** 2)
-        var_p = max(float(np.max(np.diag(cov[3:, 3:]))),
-                    self.cfg.min_sigma_trans ** 2)
-        info = np.diag(np.concatenate([
-            np.full(3, 1.0 / var_p), np.full(3, 1.0 / var_phi)])
-        ).astype(np.float32)
+        if self.cfg.full_cov:
+            # Full anisotropic transport (EdgeEncNavState semantics,
+            # g2otypes.h:591).  The delta's (phi, p) covariance lives in
+            # the tangent at the interval-start encoder frame E_i; a
+            # left perturbation xi of the delta maps to the camera-left
+            # tangent (the prior residual's frame, r = log(Tcw∘Tp^-1))
+            # as delta = -Ad_{T_cj_ei} xi, so
+            #   Sigma_c = Ad_{T_cj_ei} Sigma_xi Ad^T,
+            # with T_cj_ei = Tcw_j ∘ T_w_bi ∘ T_be.  The model-error
+            # floor (slip, track-width, extrinsic error) is ADDED as a
+            # per-axis variance lower bound, not a replacement — the
+            # plane constraint and the tight lateral/yaw axes survive.
+            Pm = np.zeros((6, 6), np.float64)  # (phi,p) -> (rho,phi)
+            Pm[:3, :3] = cov[3:, 3:]
+            Pm[:3, 3:] = cov[3:, :3]
+            Pm[3:, :3] = cov[:3, 3:]
+            Pm[3:, 3:] = cov[:3, :3]
+            R_wei = R_i @ Rbe
+            p_wei = p_i + R_i @ tbe
+            R_ce = Rcw @ R_wei
+            t_ce = Rcw @ p_wei + tcw
+            hat_t = np.array([[0, -t_ce[2], t_ce[1]],
+                              [t_ce[2], 0, -t_ce[0]],
+                              [-t_ce[1], t_ce[0], 0]], np.float64)
+            Ad = np.zeros((6, 6), np.float64)
+            Ad[:3, :3] = R_ce
+            Ad[3:, 3:] = R_ce
+            Ad[:3, 3:] = hat_t @ R_ce
+            Sig = Ad @ Pm @ Ad.T
+            Sig[:3, :3] += np.eye(3) * self.cfg.min_sigma_trans ** 2
+            Sig[3:, 3:] += np.eye(3) * self.cfg.min_sigma_rot ** 2
+            info = np.linalg.inv(Sig).astype(np.float32)
+            # symmetrize against inversion round-off
+            info = 0.5 * (info + info.T)
+        else:
+            # Round-3 conservative collapse: per-block worst axis + the
+            # floor as a replacement — kept for A/B; discards the
+            # anisotropy (see EncoderConfig.full_cov).
+            var_phi = max(float(np.max(np.diag(cov[:3, :3]))),
+                          self.cfg.min_sigma_rot ** 2)
+            var_p = max(float(np.max(np.diag(cov[3:, 3:]))),
+                        self.cfg.min_sigma_trans ** 2)
+            info = np.diag(np.concatenate([
+                np.full(3, 1.0 / var_p), np.full(3, 1.0 / var_phi)])
+            ).astype(np.float32)
         return (normalize_rotation_np(Rcw).astype(np.float32),
                 tcw.astype(np.float32), info)
 
