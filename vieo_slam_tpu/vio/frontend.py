@@ -92,6 +92,17 @@ class VioConfig:
     use_backend: bool = True
     backend_window: int = 10
     run_init_gba: bool = True
+    # Sensor-timing robustness (the reference's delay-poll,
+    # Camera.delayForPolling, src/Tracking.cc:966-981): wait up to this
+    # many wall-clock seconds for odometry covering the frame timestamp
+    # before preintegrating (free when a harness pre-feeds samples — the
+    # poll short-circuits).  After the wait, a window that still ends
+    # short of the frame (late/dropped packets) is zero-order-hold
+    # filled (OdomRing.window_filled) with covariance growing over the
+    # held span — graceful degradation instead of a silently short
+    # preintegration window.
+    delay_for_polling: float = 0.02
+    odom_gap_tol: float = 0.02      # tail gap (s) before ZOH fill kicks in
 
 
 class VioFrontend:
@@ -155,7 +166,12 @@ class VioFrontend:
 
     def _preintegrate(self, t0: float, t1: float, cap: int,
                       bg=None, ba=None):
-        vals, dts, mask, _ = self.ring.window(t0, t1, cap)
+        from ..utils.metrics import metrics
+
+        vals, dts, mask, _, lag = self.ring.window_filled(
+            t0, t1, cap, tail_tol=self.cfg.odom_gap_tol)
+        if lag > 0:
+            metrics.count("imu_window_zoh_filled")
         bg = self.bg if bg is None else bg
         ba = self.ba if ba is None else ba
         return preintegrate_imu(
@@ -185,8 +201,8 @@ class VioFrontend:
 
         T_w_bj = T_w_bi · T_be · ΔT_e · T_be⁻¹.  Returns (R_j, p_j) numpy
         or None if the window holds no samples."""
-        ev, edts, emask, n = self.enc_ring.window(
-            t0, t1, self.cfg.window_cap)
+        ev, edts, emask, n, _ = self.enc_ring.window_filled(
+            t0, t1, self.cfg.window_cap, tail_tol=self.cfg.odom_gap_tol)
         if n == 0:
             return None
         enc = preintegrate_encoder(
@@ -268,6 +284,12 @@ class VioFrontend:
         self._apply_ns_correction()
         pre = None
         if self.inited and self.last_t is not None:
+            # delay-poll: give a live odometry feeder the chance to
+            # deliver samples covering this frame (Tracking.cc:966-981)
+            if not self.ring.wait_until(
+                    t - self.cfg.odom_gap_tol, self.cfg.delay_for_polling):
+                from ..utils.metrics import metrics
+                metrics.count("imu_poll_timeout")
             pre = self._preintegrate(self.last_t, t, self.cfg.window_cap)
             ns_pred = self._propagate(self.ns_last, pre)
             if self.cfg.use_encoder and self.enc_ring is not None:
