@@ -14,8 +14,16 @@ outliers (RGB-D), and dynamic landmarks, so the full perception stack is
 under test — the "ORB exactness vs ATE" risk SURVEY §7 flags.
 
 Scenarios: stereo | rgbd | mono | stereo_vio | vieo | veo | multicam_kb8
+plus the multi-lap loop-closure rows (stereo_loop | mono_loop | vio_loop):
+a tangent-heading figure-eight re-traversed for several laps (each lap
+revisits every pose, so place recognition MUST fire — the reference's
+whole-sequence evaluation regime where loop closing + final GBA visibly
+cut ATE, README.md:44-63 fullBA vs noFullBA columns); these rows also
+record the keyframe ATE immediately BEFORE and AFTER the first loop
+correction, isolating the closure's own contribution from the final GBA.
 
 Run: PYTHONPATH=. python examples/evaluate_ntimes.py [--n 3] [--frames 60]
+     [--loop-frames 360]
 """
 
 import argparse
@@ -27,6 +35,12 @@ import numpy as np
 NOISE_SIGMA = 2.0
 DYNAMIC_FRAC = 0.02
 DEPTH_OUTLIER_FRAC = 0.07
+
+# Multi-lap loop rows: lemniscate half-axes and frames per lap (yaw rate
+# at the lobe ends stays < ~5 deg/frame at 180 frames/lap, the trackable
+# regime per sim.world.figure_eight_trajectory's docstring).
+LOOP_A, LOOP_B = 3.0, 1.0
+LOOP_FRAMES_PER_LAP = 180
 
 
 def _gain_bias(t):
@@ -49,7 +63,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
     from vieo_slam_tpu.ops import orb
     from vieo_slam_tpu.sim.world import (
         SyntheticWorld, WorldConfig, circle_trajectory,
-        make_encoder_samples, make_imu_samples, trajectory_to_tcw)
+        figure_eight_trajectory, make_encoder_samples, make_imu_samples,
+        trajectory_to_tcw)
     from vieo_slam_tpu.system import System, SystemConfig
     from vieo_slam_tpu.vio.encoder_frontend import (
         EncoderConfig, EncoderFrontend)
@@ -59,54 +74,104 @@ def run_once(scenario: str, seed: int, n_frames: int):
     fx = 400.0
     cam = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
     bf = fx * BASELINE
-    world = SyntheticWorld(WorldConfig(
-        n_landmarks=2200, seed=4, extent=(6.0, 4.5, 3.0),
-        dynamic_frac=DYNAMIC_FRAC))
+    # Loop rows re-traverse a tangent-heading lemniscate (every lap
+    # revisits every pose with the same heading); the other rows run the
+    # 1/3-circle plumbing scenario.  `base` is the sensor pipeline the
+    # loop row runs on.
+    is_loop = scenario.endswith("_loop")
+    base = {"stereo_loop": "stereo", "mono_loop": "mono",
+            "vio_loop": "stereo_vio"}.get(scenario, scenario)
     ts = np.arange(n_frames) * 0.1
-    Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.35,
-                                           look_outward=True)
+    if is_loop:
+        world = SyntheticWorld(WorldConfig(
+            n_landmarks=4000, seed=4, extent=(12.0, 9.0, 3.0),
+            dynamic_frac=DYNAMIC_FRAC))
+        omega = 2 * np.pi / (LOOP_FRAMES_PER_LAP * 0.1)
+        Rwc, twc, v_w, a_w = figure_eight_trajectory(
+            ts, a=LOOP_A, b=LOOP_B, omega=omega)
+    else:
+        world = SyntheticWorld(WorldConfig(
+            n_landmarks=2200, seed=4, extent=(6.0, 4.5, 3.0),
+            dynamic_frac=DYNAMIC_FRAC))
+        Rwc, twc, v_w, a_w = circle_trajectory(ts, radius=1.0, omega=0.35,
+                                               look_outward=True)
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
     # mono has no direct depth: it lives on cross-frame matching, so it
     # runs with the reference's mono feature budget (EuRoC mono yaml:
-    # ORBextractor.nFeatures 1000; stereo modes keep 600 for runtime)
-    ocfg = orb.OrbConfig(n_features=1000 if scenario == "mono" else 600,
-                         n_levels=4)
+    # ORBextractor.nFeatures 1000; stereo modes keep 600 for runtime).
+    # Loop rows also run at 1000: the lemniscate's tangent-heading yaw
+    # sweep (up to 4.8 deg/frame) rotates landmarks out of view faster
+    # than a 600-feature budget can replenish matches (measured: track
+    # lost at t=3.9 with 600, zero losses with 1000).
+    ocfg = orb.OrbConfig(
+        n_features=1000 if (base == "mono" or is_loop) else 600,
+        n_levels=4)
     rng = np.random.RandomState(seed)
 
-    # KB8 rig (multicam scenario)
-    if scenario == "multicam_kb8":
+    # KB8 rig (multicam scenario) at the SAME geometry as the stereo row
+    # (fx 400, baseline 0.2): the r3 rig (fx 300, B 0.11) was 6x worse
+    # purely from intrinsic depth noise (sigma_z ~ z^2 sigma_d / (fx B),
+    # 2.4x the stereo row's), which buried the camera-model comparison;
+    # at matched geometry the KB8 multicam path measures 0.0025 rmse =
+    # parity with rectified stereo (scripts/debug_multicam_kb8.py).
+    if base == "multicam_kb8":
         KB8_DIST = [0.02, 0.002, -0.001, 0.0005]
-        cam0 = cm.make_kb8(300.0, 300.0, 320.0, 240.0, KB8_DIST, 640, 480)
-        cam1 = cm.make_kb8(300.0, 300.0, 320.0, 240.0, KB8_DIST, 640, 480,
+        cam0 = cm.make_kb8(fx, fx, 320.0, 240.0, KB8_DIST, 640, 480)
+        cam1 = cm.make_kb8(fx, fx, 320.0, 240.0, KB8_DIST, 640, 480,
                            Rcr=np.eye(3, dtype=np.float32),
-                           tcr=np.asarray([-0.11, 0, 0], np.float32))
-        geom = cm.make_pinhole(300.0, 300.0, 320.0, 240.0, 640, 480)
-        cam, bf = geom, 300.0 * 0.11
+                           tcr=np.asarray([-BASELINE, 0, 0], np.float32))
+        geom = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
+        cam, bf = geom, fx * BASELINE
 
     # Octaves are physical at image level: predicted-scale search radii on.
     # stereo_async runs the concurrent tracking/mapping pipeline (worker
     # thread + map.lock + correction sinks) as a first-class accuracy row.
     scfg = SystemConfig(tracker=TrackerConfig(use_predicted_scale=True),
-                        async_mapping=(scenario == "stereo_async"))
+                        async_mapping=(base == "stereo_async"))
     sys_ = System(cam, bf, scfg)
     # mono: Sim3 loop closure with FREE scale (the reference's
     # mbFixScale = sensor != MONOCULAR) — mono scale drift is exactly
-    # what the 7-DoF closure must absorb.
+    # what the 7-DoF closure must absorb.  Loop rows raise min_kf_gap so
+    # only a genuine lap-old revisit can close (one lap back is ~50-90
+    # KFs at this keyframe cadence).
     sys_.loop_closer = LoopCloser(
         cam, bf, sys_.map,
-        LoopClosingConfig(min_kf_gap=8,
-                          fix_scale=(scenario != "mono")))
+        LoopClosingConfig(min_kf_gap=30 if is_loop else 8,
+                          fix_scale=(base != "mono")))
+
+    # Loop rows: snapshot the keyframe ATE immediately before/after each
+    # loop correction — the closure's own contribution, separate from
+    # the final-GBA A/B the reference publishes.
+    def kf_ate():
+        m = sys_.map
+        kfs = m.keyframe_ids()
+        p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
+        # mono: similarity (scale-free) alignment, like the reference's
+        # mono evaluation
+        return ate(m.kf_timestamp[kfs], p, ts, twc,
+                   with_scale=(base == "mono"))
+
+    lc_events = []
+    if is_loop:
+        _orig_correct = sys_.loop_closer._correct_loop
+
+        def _hooked_correct(k, c, S_ck):
+            pre = kf_ate()
+            _orig_correct(k, c, S_ck)
+            lc_events.append((pre["rmse"], kf_ate()["rmse"]))
+
+        sys_.loop_closer._correct_loop = _hooked_correct
     vio = None
     veo = None
     enc = imu = None
-    if scenario in ("stereo_vio", "vieo"):
+    if base in ("stereo_vio", "vieo"):
         bg = np.array([0.01, -0.02, 0.015], np.float32)
         ba = np.array([0.05, 0.03, -0.04], np.float32)
         t_imu, gyro, acc = make_imu_samples(
             ts, Rwc.astype(np.float64), v_w, a_w, rate_hz=200.0,
             bg=bg, ba=ba, noise_g=1e-4, noise_a=1e-3, seed=seed + 100)
         cfg = VioConfig(init_min_kfs=10, init_min_span=3.0)
-        if scenario == "vieo":
+        if base == "vieo":
             x_e = Rwc[0].T @ (v_w[0] / np.linalg.norm(v_w[0]))
             z_e = Rwc[0].T @ np.array([0.0, 0.0, 1.0])
             y_e = np.cross(z_e, x_e)
@@ -122,7 +187,7 @@ def run_once(scenario: str, seed: int, n_frames: int):
             enc = (t_enc, v_l, v_r)
         vio = VioFrontend(sys_, cfg=cfg)
         imu = (t_imu, gyro, acc)
-    elif scenario == "veo":
+    elif base == "veo":
         x_e = Rwc[0].T @ (v_w[0] / np.linalg.norm(v_w[0]))
         z_e = Rwc[0].T @ np.array([0.0, 0.0, 1.0])
         y_e = np.cross(z_e, x_e)
@@ -137,16 +202,16 @@ def run_once(scenario: str, seed: int, n_frames: int):
         enc = (t_enc, v_l, v_r)
 
     # jitted frame builders (compile once per scenario)
-    if scenario in ("stereo", "stereo_async", "stereo_vio", "vieo", "veo"):
+    if base in ("stereo", "stereo_async", "stereo_vio", "vieo", "veo"):
         build = jax.jit(lambda l, r, t: build_stereo_frame(
             l, r, ocfg, bf=bf, min_depth=0.3, max_depth=15.0, timestamp=t))
-    elif scenario == "rgbd":
+    elif base == "rgbd":
         build = jax.jit(lambda im, d, t: build_rgbd_frame(
             im, d, ocfg, bf=bf, timestamp=t))
-    elif scenario == "mono":
+    elif base == "mono":
         build = jax.jit(lambda im, t: build_mono_frame(
             im, ocfg, timestamp=t))
-    elif scenario == "multicam_kb8":
+    elif base == "multicam_kb8":
         build = jax.jit(lambda a, b, t: build_multicam_frame(
             [a, b], [cam0, cam1], ocfg, geom_cam=geom,
             virt_bf=bf, max_depth=15.0, timestamp=t))
@@ -167,22 +232,22 @@ def run_once(scenario: str, seed: int, n_frames: int):
                 enc_i += 1
         g, b = _gain_bias(t)
         hard = dict(t=t, noise_sigma=NOISE_SIGMA, gain=g, bias=b, rng=rng)
-        if scenario in ("stereo", "stereo_async", "stereo_vio", "vieo",
-                        "veo"):
+        if base in ("stereo", "stereo_async", "stereo_vio", "vieo",
+                    "veo"):
             img_l, img_r = world.render_stereo(
                 cam, Rcw[i], tcw[i], BASELINE, **hard)
             frame = build(jnp.asarray(img_l), jnp.asarray(img_r),
                           jnp.asarray(t, jnp.float64))
-        elif scenario == "rgbd":
+        elif base == "rgbd":
             img, dm = world.render_view(
                 cam, Rcw[i], tcw[i], return_depth=True,
                 depth_outlier_frac=DEPTH_OUTLIER_FRAC, **hard)
             frame = build(jnp.asarray(img), jnp.asarray(dm),
                           jnp.asarray(t, jnp.float64))
-        elif scenario == "mono":
+        elif base == "mono":
             img = world.render_view(cam, Rcw[i], tcw[i], **hard)
             frame = build(jnp.asarray(img), jnp.asarray(t, jnp.float64))
-        elif scenario == "multicam_kb8":
+        elif base == "multicam_kb8":
             img0 = world.render_view(cam0, Rcw[i], tcw[i], **hard)
             R1 = cam1.Rcr @ Rcw[i]
             t1 = cam1.Rcr @ tcw[i] + cam1.tcr
@@ -196,35 +261,34 @@ def run_once(scenario: str, seed: int, n_frames: int):
         else:
             sys_.track_frame(frame)
 
-    from vieo_slam_tpu.io.evaluate import ate  # noqa: F811
-
-    def kf_ate():
-        m = sys_.map
-        kfs = m.keyframe_ids()
-        p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
-        # mono: similarity (scale-free) alignment, like the reference's
-        # mono evaluation
-        return ate(m.kf_timestamp[kfs], p, ts, twc,
-                   with_scale=(scenario == "mono"))
-
     sys_.wait_idle()
     pre = kf_ate()
     sys_.final_global_ba()
     post = kf_ate()
     sys_.shutdown()
-    return {"rmse_noFullBA": pre["rmse"], "max_noFullBA": pre["max"],
-            "rmse_fullBA": post["rmse"], "max_fullBA": post["max"]}
+    out = {"rmse_noFullBA": pre["rmse"], "max_noFullBA": pre["max"],
+           "rmse_fullBA": post["rmse"], "max_fullBA": post["max"]}
+    if is_loop:
+        out["loops_closed"] = float(len(lc_events))
+        # first closure: the drifted map the detector fired on vs the
+        # corrected map — the closure's own ATE cut, before any GBA.
+        out["rmse_preLC"] = lc_events[0][0] if lc_events else float("nan")
+        out["rmse_postLC"] = lc_events[0][1] if lc_events else float("nan")
+    return out
 
 
 ALL = "stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,multicam_kb8"
+LOOP_SCENARIOS = "stereo_loop,mono_loop,vio_loop"
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--loop-frames", type=int, default=360,
+                    help="frames for *_loop scenarios (2 laps at 180/lap)")
     ap.add_argument("--tpu", action="store_true")
-    ap.add_argument("--scenarios", default=ALL)
+    ap.add_argument("--scenarios", default=ALL + "," + LOOP_SCENARIOS)
     ap.add_argument("--out", default=None,
                     help="write the aggregate table as JSON")
     args = ap.parse_args()
@@ -235,9 +299,10 @@ def main():
 
     table = {}
     for sc in args.scenarios.split(","):
+        nf = args.loop_frames if sc.endswith("_loop") else args.frames
         rows = []
         for run in range(args.n):
-            r = run_once(sc, seed=11 + run * 7, n_frames=args.frames)
+            r = run_once(sc, seed=11 + run * 7, n_frames=nf)
             rows.append(r)
             print(f"{sc} run {run}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in r.items()), flush=True)
@@ -247,10 +312,15 @@ def main():
             # "LLVM compilation error: Cannot allocate memory".
             jax.clear_caches()
         agg = {"image_level": True}
+        if sc.endswith("_loop"):
+            agg["frames"] = nf
+            agg["laps"] = round(nf / LOOP_FRAMES_PER_LAP, 2)
         for k in rows[0]:
             vals = np.asarray([r[k] for r in rows])
-            agg[f"avg_{k}"] = round(float(vals.mean()), 4)
-            agg[f"med_{k}"] = round(float(np.median(vals)), 4)
+            # nan-aware: a loop row with zero closures reports NaN for
+            # its pre/post-closure columns rather than poisoning the agg
+            agg[f"avg_{k}"] = round(float(np.nanmean(vals)), 4)
+            agg[f"med_{k}"] = round(float(np.nanmedian(vals)), 4)
         table[sc] = agg
 
     print("\n== aggregate (m) ==")
@@ -263,6 +333,8 @@ def main():
     print(json.dumps(table))
     if args.out:
         meta = {"n_runs": args.n, "frames": args.frames,
+                "loop_frames": args.loop_frames,
+                "loop_frames_per_lap": LOOP_FRAMES_PER_LAP,
                 "renderer_hardening": {
                     "noise_sigma": NOISE_SIGMA,
                     "brightness_drift": "gain 1±0.10, bias ±8",

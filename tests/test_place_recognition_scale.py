@@ -54,7 +54,7 @@ def multiloop_run():
     omega = 2 * np.pi / PERIOD
     # tangent heading: the viewing direction sweeps 360° per lap, so the
     # BoW signature of each place is heading-specific (the hard case)
-    Rwc, twc, _ = figure_eight_trajectory(ts, a=3.0, b=1.0, omega=omega)
+    Rwc, twc, _, _ = figure_eight_trajectory(ts, a=3.0, b=1.0, omega=omega)
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
 
     sys_ = System(cam, bf, SystemConfig(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..cameras import models as cm
@@ -209,9 +210,22 @@ def build_multicam_frame(
         depths, cos_par = cm.triangulation_checks(pw_r, R_cw, t_cw,
                                                   rays_pair)
         z0 = depths[:, 0]
+        # Two-view reprojection gate (TriangulateMatches' per-view chi2
+        # check, common/camera_models/camera_base.h:171-199): the
+        # epipolar constraint alone admits wrong matches ALONG the
+        # epipolar curve, whose triangulations are consistent but at the
+        # wrong depth — measured 13.9% >10%-depth outliers on the KB8
+        # rig without this gate, the r3 multicam accuracy regression.
+        sig2 = jnp.asarray((cfg.level_scales ** 2).astype(np.float32))
+        pc0 = jnp.einsum("ij,nj->ni", R0, pw_r) + t0
+        pci = jnp.einsum("ij,nj->ni", ci.Rcr, pw_r) + ci.tcr
+        e0 = jnp.sum((cm.project(cams[0], pc0) - f0.uv) ** 2, -1)
+        ei = jnp.sum((cm.project(ci, pci) - fi.uv[sel]) ** 2, -1)
+        chi2_ok = ((e0 < 5.991 * sig2[f0.level])
+                   & (ei < 5.991 * sig2[fi.level[sel]]))
         ok = ((idx >= 0) & (z0 > min_depth) & (z0 < max_depth)
               & (depths[:, 1] > min_depth)
-              & (cos_par < min_parallax_cos))
+              & (cos_par < min_parallax_cos) & chi2_ok)
         depth = jnp.where(ok & (depth < 0), z0, depth)
 
     has_d = depth > 0

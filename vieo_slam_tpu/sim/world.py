@@ -338,13 +338,16 @@ def figure_eight_trajectory(t: np.ndarray, a=2.0, b=1.2, omega=0.35,
     forever, so the map stays covisibility-connected and loop closure
     is never exercised.
 
-    Returns (Rwc, twc, v_world)."""
+    Returns (Rwc, twc, v_world, a_world)."""
     t = np.asarray(t, np.float64)
     w = omega
     pos = np.stack([a * np.sin(w * t), b * np.sin(2 * w * t),
                     np.full_like(t, z)], -1)
     v = np.stack([a * w * np.cos(w * t), 2 * b * w * np.cos(2 * w * t),
                   np.zeros_like(t)], -1)
+    a_w = np.stack([-a * w ** 2 * np.sin(w * t),
+                    -4 * b * w ** 2 * np.sin(2 * w * t),
+                    np.zeros_like(t)], -1)
     if heading == "tangent":
         fwd = v.copy()
     else:
@@ -357,7 +360,7 @@ def figure_eight_trajectory(t: np.ndarray, a=2.0, b=1.2, omega=0.35,
     down = np.cross(fwd, right)
     Rwc = np.stack([right, down, fwd], axis=-1)
     return (Rwc.astype(np.float32), pos.astype(np.float32),
-            v.astype(np.float32))
+            v.astype(np.float32), a_w.astype(np.float32))
 
 
 def trajectory_to_tcw(Rwc, twc):
