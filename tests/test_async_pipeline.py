@@ -23,7 +23,7 @@ from vieo_slam_tpu.system import System, SystemConfig
 pytestmark = pytest.mark.slow
 
 
-def _run(async_mapping: bool, n_frames: int = 60):
+def _run(async_mapping: bool, n_frames: int = 60, lockstep: bool = False):
     cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
     bf = 400.0 * 0.2
     world = SyntheticWorld(WorldConfig(n_landmarks=4000, seed=3,
@@ -44,6 +44,8 @@ def _run(async_mapping: bool, n_frames: int = 60):
             obs["valid"], ur=obs["ur"], depth=obs["depth"],
             timestamp=ts[i])
         states.append(sys_.track_frame(frame))
+        if lockstep and sys_._kf_queue is not None:
+            sys_._kf_queue.join()
     sys_.wait_idle()
     traj = sys_.tracker.trajectory
     t_est = np.asarray([x[0] for x in traj])
@@ -68,6 +70,22 @@ class TestAsyncPipeline:
         (_, _, res_sync), (_, _, res_async) = runs
         assert res_async["rmse"] < max(2.0 * res_sync["rmse"], 0.02), \
             (res_sync["rmse"], res_async["rmse"])
+
+    def test_lockstep_async_equals_sync(self, runs):
+        """Correction-path exactness (the r3 stereo_async regression's
+        diagnosis, scripts/debug_async_gap.py): draining the worker
+        after every frame removes concurrency lag while still exercising
+        the full worker + push_correction/pending_correction machinery —
+        the result must match the synchronous pipeline almost exactly.
+        Any composition error in the correction rebase would surface
+        here; the residual free-running async gap is therefore pipeline
+        LAG (keyframes created before the previous keyframe's BA
+        correction lands), the cost paid for the 5x p99 latency win
+        (test_async_gba.test_async_tail_latency_beats_sync)."""
+        (_, _, res_sync), _ = runs
+        _, _, res_lock = _run(True, lockstep=True)
+        assert res_lock["rmse"] < 1.1 * res_sync["rmse"] + 5e-4, \
+            (res_sync["rmse"], res_lock["rmse"])
 
     def test_worker_processed_all_keyframes(self, runs):
         _, (sys_a, _, _) = runs

@@ -50,6 +50,12 @@ class SystemConfig:
     # tracker through pending_correction at the next frame boundary
     # (bMapUpdated semantics).  When False everything is synchronous.
     async_mapping: bool = False
+    # Backend queue depth: how many keyframes tracking may run ahead of
+    # the mapping worker before back-pressure blocks (the reference's
+    # SetAcceptKeyFrames(false) keeps the effective depth at ~1 — a deep
+    # queue lets KFs be created on an un-BA'd drifting chain and was the
+    # r3 stereo_async accuracy regression).
+    kf_queue_depth: int = 1
 
 
 class System:
@@ -95,7 +101,7 @@ class System:
         import queue
         import threading
 
-        self._kf_queue = queue.Queue(maxsize=4)
+        self._kf_queue = queue.Queue(maxsize=self.cfg.kf_queue_depth)
         self._worker = threading.Thread(
             target=self._worker_loop, name="local-mapping", daemon=True)
         self._worker.start()
