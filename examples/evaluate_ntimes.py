@@ -36,10 +36,16 @@ NOISE_SIGMA = 2.0
 DYNAMIC_FRAC = 0.02
 DEPTH_OUTLIER_FRAC = 0.07
 
-# Multi-lap loop rows: lemniscate half-axes and frames per lap (yaw rate
-# at the lobe ends stays < ~5 deg/frame at 180 frames/lap, the trackable
-# regime per sim.world.figure_eight_trajectory's docstring).
-LOOP_A, LOOP_B = 3.0, 1.0
+# Multi-lap loop rows: outward-looking circle, several laps.  Constant
+# 2 deg/frame yaw at 180 frames/lap — the heading sweeps the full 360°
+# per lap so covisibility to the previous lap breaks and the revisit
+# genuinely requires place recognition, while the constant yaw RATE
+# keeps the velocity model exact.  (The lemniscate alternative
+# concentrates yaw ACCELERATION at its lobes/crossing — measured: it
+# breaks image-level tracking at both 600 and 1000 features, so the
+# multi-lap evidence uses the circle; the lemniscate's heading-specific
+# place-recognition FP test lives in test_place_recognition_scale.)
+LOOP_RADIUS = 1.5
 LOOP_FRAMES_PER_LAP = 180
 
 
@@ -63,7 +69,7 @@ def run_once(scenario: str, seed: int, n_frames: int):
     from vieo_slam_tpu.ops import orb
     from vieo_slam_tpu.sim.world import (
         SyntheticWorld, WorldConfig, circle_trajectory,
-        figure_eight_trajectory, make_encoder_samples, make_imu_samples,
+        make_encoder_samples, make_imu_samples,
         trajectory_to_tcw)
     from vieo_slam_tpu.system import System, SystemConfig
     from vieo_slam_tpu.vio.encoder_frontend import (
@@ -87,8 +93,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
             n_landmarks=4000, seed=4, extent=(12.0, 9.0, 3.0),
             dynamic_frac=DYNAMIC_FRAC))
         omega = 2 * np.pi / (LOOP_FRAMES_PER_LAP * 0.1)
-        Rwc, twc, v_w, a_w = figure_eight_trajectory(
-            ts, a=LOOP_A, b=LOOP_B, omega=omega)
+        Rwc, twc, v_w, a_w = circle_trajectory(
+            ts, radius=LOOP_RADIUS, omega=omega, look_outward=True)
     else:
         world = SyntheticWorld(WorldConfig(
             n_landmarks=2200, seed=4, extent=(6.0, 4.5, 3.0),
@@ -98,14 +104,9 @@ def run_once(scenario: str, seed: int, n_frames: int):
     Rcw, tcw = trajectory_to_tcw(Rwc, twc)
     # mono has no direct depth: it lives on cross-frame matching, so it
     # runs with the reference's mono feature budget (EuRoC mono yaml:
-    # ORBextractor.nFeatures 1000; stereo modes keep 600 for runtime).
-    # Loop rows also run at 1000: the lemniscate's tangent-heading yaw
-    # sweep (up to 4.8 deg/frame) rotates landmarks out of view faster
-    # than a 600-feature budget can replenish matches (measured: track
-    # lost at t=3.9 with 600, zero losses with 1000).
-    ocfg = orb.OrbConfig(
-        n_features=1000 if (base == "mono" or is_loop) else 600,
-        n_levels=4)
+    # ORBextractor.nFeatures 1000; stereo modes keep 600 for runtime)
+    ocfg = orb.OrbConfig(n_features=1000 if base == "mono" else 600,
+                         n_levels=4)
     rng = np.random.RandomState(seed)
 
     # KB8 rig (multicam scenario) at the SAME geometry as the stereo row

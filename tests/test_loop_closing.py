@@ -69,3 +69,24 @@ class TestLoopClosing:
         # leaves residual local drift only denser loop edges / stronger
         # GBA coverage can remove (TODO.md).
         assert res["rmse"] < 0.5, res
+
+
+class TestCulledKeyframePurge:
+    def test_culled_kf_leaves_database(self, loop_run):
+        """A culled keyframe must be purged from the BoW inverted file
+        (KeyFrameDatabase::erase from KeyFrame::SetBadFlag): a dead KF
+        left behind keeps scoring as a loop candidate, escapes the
+        min_kf_gap/covisibility exclusions (it is absent from
+        keyframe_ids()), and burns the consistency streak on
+        lm_pairs=0 closure attempts — the r4 mono_loop failure."""
+        sys_, *_ = loop_run
+        lc = sys_.loop_closer
+        m = sys_.map
+        assert lc.db is not None
+        kfs = m.keyframe_ids()
+        victim = int(kfs[len(kfs) // 2])
+        with m.lock:
+            m.erase_keyframe(victim)
+        lc.process_keyframe(int(kfs[-1]))
+        assert not lc.db.present[victim]
+        assert victim not in lc.kf_bow

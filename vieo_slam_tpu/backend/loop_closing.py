@@ -122,6 +122,18 @@ class LoopCloser:
             self.db = KeyFrameDatabase(self.voc.n_words,
                                        capacity=self.map.cfg.max_keyframes)
         m = self.map
+        # Purge culled keyframes from the inverted file (the reference's
+        # KeyFrameDatabase::erase call in KeyFrame::SetBadFlag): a dead
+        # KF left in the database keeps scoring as a candidate — it is
+        # absent from keyframe_ids() so the min_kf_gap/covisibility
+        # exclusions never see it, and its landmarks are invalid, so it
+        # wastes the consistency streak on lm_pairs=0 closures (the
+        # r4 mono_loop no-closure diagnosis).
+        nk = min(len(self.db.present), len(m.kf_valid))
+        stale = np.nonzero(self.db.present[:nk] & ~m.kf_valid[:nk])[0]
+        for kf in stale:
+            self.db.erase(int(kf))
+            self.kf_bow.pop(int(kf), None)
         bow = self._bow_of(k)
         closed = False
         if k - self.last_loop_kf >= self.cfg.min_kf_gap:
