@@ -85,7 +85,17 @@ def measure_rtt():
 
 
 def build_pipeline(n_features: int, slab: int = SLAB):
-    cfg = orb.OrbConfig(n_features=n_features, n_levels=8)
+    # The reference's OWN configs for the two benchmark rows
+    # (Examples/Stereo/EuRoC): 1200 feats = 8 levels @ 1.2
+    # (EuRoC_VIO_dist.yaml); the 11 ms low-compute row = 375 feats,
+    # 4 levels @ scale 2.0 (EuRoC_VIO_dist_fast.yaml ORBextractor.*) —
+    # benchmarking our 375 row at 8 levels was doing 2.3x the
+    # reference's image-pyramid work against its 4-level number.
+    if n_features <= 375:
+        cfg = orb.OrbConfig(n_features=n_features, n_levels=4,
+                            scale_factor=2.0)
+    else:
+        cfg = orb.OrbConfig(n_features=n_features, n_levels=8)
     cam = cm.make_pinhole(458.0, 458.0, 376.0, 240.0, W, H)
     bf = 458.0 * 0.11
     # NUMPY closures, never device arrays: a jit that closes over a DEVICE
@@ -199,12 +209,17 @@ def run_config(n_features: int, rtt: float, inputs,
     return best
 
 
-def run_stages(n_features: int, rtt: float, inputs) -> dict:
+def run_stages(n_features: int, rtt: float, inputs,
+               slab: int = SLAB) -> dict:
     """Per-stage ms: each stage chained back-to-back N times through a
     data dependency so the device pipeline stays busy (same methodology
     as the full-frame row)."""
     imgs_l, imgs_r, lm_pw, lm_desc, lm_valid, R0, t0 = inputs
-    _, (extract, stereo_depth, track) = build_pipeline(n_features)
+    if slab != SLAB:
+        lm_pw = lm_pw[:slab]
+        lm_desc = lm_desc[:slab]
+        lm_valid = lm_valid[:slab]
+    _, (extract, stereo_depth, track) = build_pipeline(n_features, slab)
     if BATCH_STEREO:      # per-stage timing always uses single images
         img_l0, img_r0 = imgs_l[0][0], imgs_l[0][1]
     else:
@@ -279,6 +294,80 @@ def run_stages(n_features: int, rtt: float, inputs) -> dict:
     return {k: round(v, 3) for k, v in ms.items()}
 
 
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU (f32
+# ~1/4 of that through the MXU), 819 GB/s HBM bandwidth.
+V5E_HBM_GBS = 819.0
+V5E_MXU_F32 = 49e12
+V5E_MXU_BF16 = 197e12
+
+
+def roofline_table(stage_ms: dict, n_features: int, slab: int) -> dict:
+    """Per-kernel roofline accounting (BASELINE 'speed-of-light' clause):
+    bytes moved + FLOPs per stage from the algorithm's shapes, the HBM
+    and MXU time floors they imply on v5e, and achieved-vs-floor — the
+    statement of where the next 2x lives (physics vs implementation).
+
+    Counts are analytic estimates of the DOMINANT terms, not traces:
+      extract: pyramid resize chain + Pallas FAST/NMS/blend over all 8
+        levels (few passes over ~3x the base image), per-cell top-k
+        selection, and the fused tail's one-hot patch gather (bf16 MXU
+        contraction [N,961] x [961,HW_pad] per level-group) + BRIEF.
+      stereo: [N,N] masked Hamming popcount (VPU byte-ops counted as
+        FLOP-equivalents) over 8-word descriptors.
+      track: [slab,N] projection-gated Hamming + 2 x ~7 LM iterations of
+        [slab,6] jacobian einsums (~dense 6x6 systems).
+    """
+    H_, W_ = H, W
+    N = n_features
+    px = H_ * W_ * (1 - 0.71 ** 8) / (1 - 0.71)   # pyramid pixel sum
+    rows = {}
+    # ---- extract (per image) ----
+    pyr_bytes = 2 * 4 * px                      # read+write f32 chain
+    fast_bytes = 3 * 4 * px                     # img read, score wr, blend
+    sel_bytes = 3 * 4 * px                      # score read + cell top-k
+    tail_flops = (N * 961 * 4096 * 2            # one-hot patch gather MXU
+                  + N * 256 * 961 * 2)          # BRIEF taps
+    tail_bytes = N * (53 * 53 + 47 * 47) * 4
+    rows["extract"] = {
+        "hbm_mb": (pyr_bytes + fast_bytes + sel_bytes + tail_bytes) / 1e6,
+        "gflop": tail_flops / 1e9,
+        "mxu": "bf16",
+    }
+    # ---- stereo match ----
+    rows["stereo"] = {
+        "hbm_mb": (2 * N * 32 + N * N * 1) / 1e6,
+        "gflop": N * N * (8 * 3) * 2 / 1e9,     # xor+popcount+acc per word
+        "mxu": "f32",
+    }
+    # ---- track (association + BA) ----
+    assoc_flops = slab * N * (8 * 3) * 2 * 2    # two association passes
+    ba_flops = 14 * slab * (2 * 6 * 6 + 6) * 2
+    rows["track"] = {
+        "hbm_mb": (slab * (32 + 12) * 4 + slab * N / 1e1) / 1e6,
+        "gflop": (assoc_flops + ba_flops) / 1e9,
+        "mxu": "f32",
+    }
+    out = {}
+    for k, r in rows.items():
+        ach = stage_ms.get(f"{k}_ms") or stage_ms.get(f"{k}375_ms")
+        if ach is None:
+            continue
+        peak = V5E_MXU_BF16 if r["mxu"] == "bf16" else V5E_MXU_F32
+        hbm_ms = r["hbm_mb"] / 1e3 / V5E_HBM_GBS * 1e3
+        mxu_ms = r["gflop"] * 1e9 / peak * 1e3
+        floor = max(hbm_ms, mxu_ms)
+        out[k] = {
+            "achieved_ms": round(ach, 3),
+            "hbm_mb": round(r["hbm_mb"], 2),
+            "gflop": round(r["gflop"], 2),
+            "hbm_floor_ms": round(hbm_ms, 4),
+            "mxu_floor_ms": round(mxu_ms, 4),
+            "roofline_frac": round(floor / ach, 3),
+            "bound": "hbm" if hbm_ms > mxu_ms else "mxu",
+        }
+    return out
+
+
 def estimate_mfu(ms_frame: float, n_features: int) -> float:
     """Rough model FLOP utilization for the per-frame pipeline.
 
@@ -332,6 +421,12 @@ def bench_main():
     ms_1200 = run_config(1200, rtt, inputs)
     ms_375 = run_config(375, rtt, inputs, slab=SLAB_375)
     stages = run_stages(1200, rtt, inputs)
+    if os.environ.get("BENCH_STAGES_375", "0") == "1":
+        s375 = run_stages(375, rtt, inputs, slab=SLAB_375)
+        stages.update({k.replace("_ms", "375_ms"): v
+                       for k, v in s375.items()})
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        stages["roofline"] = roofline_table(stages, 1200, SLAB)
     print(json.dumps({
         "metric": "frontend_ms_per_frame",
         "value": round(ms_1200, 3),
