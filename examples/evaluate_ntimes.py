@@ -14,11 +14,13 @@ outliers (RGB-D), and dynamic landmarks, so the full perception stack is
 under test — the "ORB exactness vs ATE" risk SURVEY §7 flags.
 
 Scenarios: stereo | rgbd | mono | stereo_vio | vieo | veo | multicam_kb8
+| multicam4_kb8 (the reference's 4-fisheye maximum, README.md:18)
 plus the multi-lap loop-closure rows (stereo_loop | mono_loop | vio_loop):
-a tangent-heading figure-eight re-traversed for several laps (each lap
-revisits every pose, so place recognition MUST fire — the reference's
-whole-sequence evaluation regime where loop closing + final GBA visibly
-cut ATE, README.md:44-63 fullBA vs noFullBA columns); these rows also
+an outward-looking circle re-traversed for several laps — the heading
+sweeps 360° per lap, so each revisit genuinely requires place
+recognition (the reference's whole-sequence evaluation regime where
+loop closing + final GBA visibly cut ATE, README.md:44-63 fullBA vs
+noFullBA columns); these rows also
 record the keyframe ATE immediately BEFORE and AFTER the first loop
 correction, isolating the closure's own contribution from the final GBA.
 
@@ -80,17 +82,22 @@ def run_once(scenario: str, seed: int, n_frames: int):
     fx = 400.0
     cam = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
     bf = fx * BASELINE
-    # Loop rows re-traverse a tangent-heading lemniscate (every lap
-    # revisits every pose with the same heading); the other rows run the
-    # 1/3-circle plumbing scenario.  `base` is the sensor pipeline the
-    # loop row runs on.
+    # Loop rows re-traverse the multi-lap circle; the other rows run
+    # the 1/3-circle plumbing scenario.  `base` is the sensor pipeline
+    # the loop row runs on.
     is_loop = scenario.endswith("_loop")
     base = {"stereo_loop": "stereo", "mono_loop": "mono",
-            "vio_loop": "stereo_vio"}.get(scenario, scenario)
+            "vio_loop": "stereo_vio",
+            "multicam4_kb8": "multicam_kb8"}.get(scenario, scenario)
+    n_rig_cams = 4 if scenario == "multicam4_kb8" else 2
     ts = np.arange(n_frames) * 0.1
     if is_loop:
+        # Room sized so walls sit 2.5-4.3 m from the circling camera:
+        # far enough to accumulate drift, close enough for monocular
+        # parallax (at a 12 m room mono triangulation starves and loses
+        # track — walls 4.5-7.5 m away at this translation speed).
         world = SyntheticWorld(WorldConfig(
-            n_landmarks=4000, seed=4, extent=(12.0, 9.0, 3.0),
+            n_landmarks=4000, seed=4, extent=(8.0, 6.0, 3.0),
             dynamic_frac=DYNAMIC_FRAC))
         omega = 2 * np.pi / (LOOP_FRAMES_PER_LAP * 0.1)
         Rwc, twc, v_w, a_w = circle_trajectory(
@@ -117,10 +124,18 @@ def run_once(scenario: str, seed: int, n_frames: int):
     # parity with rectified stereo (scripts/debug_multicam_kb8.py).
     if base == "multicam_kb8":
         KB8_DIST = [0.02, 0.002, -0.001, 0.0005]
-        cam0 = cm.make_kb8(fx, fx, 320.0, 240.0, KB8_DIST, 640, 480)
-        cam1 = cm.make_kb8(fx, fx, 320.0, 240.0, KB8_DIST, 640, 480,
-                           Rcr=np.eye(3, dtype=np.float32),
-                           tcr=np.asarray([-BASELINE, 0, 0], np.float32))
+        # 2-cam: one horizontal pair.  4-cam (the reference's max,
+        # README.md:18, Frame.cc:613): two stereo pairs — a second pair
+        # displaced vertically, giving cam0 three partners with
+        # orthogonal epipolar directions.
+        offsets = [np.zeros(3), np.asarray([-BASELINE, 0, 0])]
+        if n_rig_cams == 4:
+            offsets += [np.asarray([0, -0.5 * BASELINE, 0]),
+                        np.asarray([-BASELINE, -0.5 * BASELINE, 0])]
+        rig_cams = [cm.make_kb8(fx, fx, 320.0, 240.0, KB8_DIST, 640, 480,
+                                Rcr=np.eye(3, dtype=np.float32),
+                                tcr=off.astype(np.float32))
+                    for off in offsets]
         geom = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
         cam, bf = geom, fx * BASELINE
 
@@ -213,8 +228,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
         build = jax.jit(lambda im, t: build_mono_frame(
             im, ocfg, timestamp=t))
     elif base == "multicam_kb8":
-        build = jax.jit(lambda a, b, t: build_multicam_frame(
-            [a, b], [cam0, cam1], ocfg, geom_cam=geom,
+        build = jax.jit(lambda ims, t: build_multicam_frame(
+            list(ims), rig_cams, ocfg, geom_cam=geom,
             virt_bf=bf, max_depth=15.0, timestamp=t))
 
     imu_i = enc_i = 0
@@ -249,12 +264,13 @@ def run_once(scenario: str, seed: int, n_frames: int):
             img = world.render_view(cam, Rcw[i], tcw[i], **hard)
             frame = build(jnp.asarray(img), jnp.asarray(t, jnp.float64))
         elif base == "multicam_kb8":
-            img0 = world.render_view(cam0, Rcw[i], tcw[i], **hard)
-            R1 = cam1.Rcr @ Rcw[i]
-            t1 = cam1.Rcr @ tcw[i] + cam1.tcr
-            img1 = world.render_view(cam1, R1, t1, **hard)
-            frame = build(jnp.asarray(img0), jnp.asarray(img1),
-                          jnp.asarray(t, jnp.float64))
+            imgs = []
+            for ci in rig_cams:
+                Ri = ci.Rcr @ Rcw[i]
+                ti_ = ci.Rcr @ tcw[i] + ci.tcr
+                imgs.append(jnp.asarray(
+                    world.render_view(ci, Ri, ti_, **hard)))
+            frame = build(tuple(imgs), jnp.asarray(t, jnp.float64))
         if vio is not None:
             vio.track_frame(frame)
         elif veo is not None:
@@ -278,7 +294,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
     return out
 
 
-ALL = "stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,multicam_kb8"
+ALL = ("stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,"
+       "multicam_kb8,multicam4_kb8")
 LOOP_SCENARIOS = "stereo_loop,mono_loop,vio_loop"
 
 

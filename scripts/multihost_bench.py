@@ -1,26 +1,35 @@
-"""Multi-host distributed-BA harness -> MULTIHOST_r03.json.
+"""Multi-host distributed harness -> MULTIHOST_r04.json.
 
 The reference has no distribution at all; the BASELINE north star asks
-for BA iters/s at 1 chip / 1 host / N hosts. Real multi-host TPU pods
-are not reachable from this container, so this harness runs the genuine
-multi-process JAX path (jax.distributed.initialize + a global mesh whose
-devices span processes + gloo cross-process collectives) on CPU:
+for frames/s and BA iters/s at 1 chip / 1 host / N hosts (>=80%
+efficiency to 4 hosts). Real multi-host TPU pods are not reachable from
+this container, so this harness runs the genuine multi-process JAX path
+(jax.distributed.initialize + a global mesh whose devices span processes
++ gloo cross-process collectives) on CPU, holding TOTAL device count
+fixed so only the collective transport + multi-controller dispatch vary:
 
   run A: 1 process x 4 devices  — collectives stay in-process
-  run B: 2 processes x 2 devices — the SAME 4-way landmark-sharded BA
-         program, psum now crossing a process boundary (the DCN proxy)
+  run B: 2 processes x 2 devices — psum crosses 1 process boundary
+  run C: 4 processes x 1 device  — every psum hop crosses processes
+                                   (the 4-host proxy)
 
-Because the mesh shape, shard sizes, and program are identical, the
-iters/s ratio B/A isolates the cross-host collective + multi-controller
-dispatch cost — the quantity that decides the >=80%-to-4-hosts claim.
-Numerical check: run B's replicated pose output must match run A's
-bit-for-bit (same program, same reduction order).
+Three measurements per configuration:
+  - BA iters/s of the landmark-sharded distributed Schur LM (the same
+    4-way program everywhere; pose outputs must match bit-for-bit),
+  - frames/s of the data-parallel frontend (one camera stream per
+    device, a psum'd map-statistics scalar keeping the multi-controller
+    lockstep honest),
+  - psum_ms: the BA camera-system payload ([K,K,6,6]+[K,6,6]+[K,6])
+    all-reduced in isolation — the collective-cost term that, subtracted
+    from iteration time, gives the compute-vs-psum breakdown the
+    efficiency claim rests on.
 
 Usage:  python scripts/multihost_bench.py            # coordinator
-        (spawns its own --worker subprocesses; writes MULTIHOST_r03.json)
+        (spawns its own worker subprocesses; writes MULTIHOST_r04.json)
 """
 
 import argparse
+import functools
 import json
 import os
 import socket
@@ -34,8 +43,11 @@ sys.path.insert(0, REPO)
 K = int(os.environ.get("MH_K", "32"))
 M = int(os.environ.get("MH_M", "32768"))
 ITERS = int(os.environ.get("MH_ITERS", "10"))
-N_PROC = int(os.environ.get("MH_PROCS", "2"))
-DEV_PER_PROC = int(os.environ.get("MH_DEV_PER_PROC", "2"))
+TOTAL_DEV = int(os.environ.get("MH_TOTAL_DEV", "4"))
+# frontend config (small: CPU devices share 4 physical cores)
+FH, FW, FEATS, SLAB = 240, 376, 300, 1024
+F_ROUNDS = int(os.environ.get("MH_FRAME_ROUNDS", "10"))
+PSUM_REPS = 30
 
 
 def _configure_jax(n_local_devices: int):
@@ -46,8 +58,8 @@ def _configure_jax(n_local_devices: int):
 
 
 def _run_ba(jax, tag: str):
-    """Build the shared problem, run distributed_ba over ALL global
-    devices, return (iters_per_s, Rcw, tcw, final_cost_proxy)."""
+    """Distributed BA over ALL global devices; returns
+    (iters_per_s, Rcw, tcw)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,85 +77,251 @@ def _run_ba(jax, tag: str):
     jax.block_until_ready(out)
     dt = time.time() - st
     Rcw, tcw, _pw = out
-    # poses are replicated (out_specs P()) -> host-readable everywhere
     return ITERS / dt, np.asarray(Rcw), np.asarray(tcw)
 
 
+def _run_frames(jax, tag: str) -> float:
+    """frames/s of the data-parallel frontend over the GLOBAL mesh: one
+    camera stream per device (ORB extract + stereo match + track), poses
+    chained between rounds, one psum'd scalar (global tracked-inlier
+    count — the map-statistics aggregation a real deployment performs)
+    keeping every process in lockstep each round."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vieo_slam_tpu.cameras import models as cm
+    from vieo_slam_tpu.frontend.frame import Frame
+    from vieo_slam_tpu.frontend.tracking import _track_kernel
+    from vieo_slam_tpu.ops import matching, orb
+
+    devs = jax.devices()
+    n_g = len(devs)
+    n_l = len(jax.local_devices())
+    mesh = Mesh(np.asarray(devs), ("b",))
+    shard_b = NamedSharding(mesh, P("b"))
+    repl = NamedSharding(mesh, P())
+
+    cfg = orb.OrbConfig(n_features=FEATS, n_levels=8)
+    cam = cm.make_pinhole(458.0, 458.0, FW / 2, FH / 2, FW, FH)
+    bf = 458.0 * 0.11
+    inv_sigma2 = (1.0 / cfg.level_scales ** 2).astype(np.float32)
+    scales = cfg.level_scales.astype(np.float32)
+    rng = np.random.RandomState(0)
+    base_l = rng.rand(n_l, 2, FH, FW).astype(np.float32) * 200 + 20
+    for b in range(n_l):
+        ys = rng.randint(20, FH - 20, 300)
+        xs = rng.randint(20, FW - 20, 300)
+        base_l[b, :, ys, xs] = 255.0
+    lm_pw = (rng.randn(SLAB, 3) * [2, 1.5, 1] + [0, 0, 6]).astype(
+        np.float32)
+    lm_desc = rng.randint(0, 2 ** 32, (SLAB, 8), np.uint64).astype(
+        np.uint32)
+
+    def gshard(local, sharding):
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    imgs = gshard(base_l, shard_b)
+    lm_pw_d = gshard(lm_pw, repl)
+    lm_desc_d = gshard(lm_desc, repl)
+    lm_valid_d = gshard(np.ones(SLAB, bool), repl)
+    R0 = gshard(np.tile(np.eye(3, dtype=np.float32), (n_l, 1, 1)), shard_b)
+    t0 = gshard(np.zeros((n_l, 3), np.float32), shard_b)
+
+    def one_stream(img_lr, R, t):
+        fl = orb.extract_orb(img_lr[0], cfg)
+        fr = orb.extract_orb(img_lr[1], cfg)
+        u_r, _ = matching.search_stereo_rectified(
+            fl.uv, fl.level, fl.desc, fl.valid,
+            fr.uv, fr.level, fr.desc, fr.valid,
+            min_disp=bf / 40.0, max_disp=bf / 0.1,
+            level_scales=jnp.asarray(scales))
+        disp = fl.uv[:, 0] - u_r
+        depth = jnp.where(u_r >= 0, bf / jnp.maximum(disp, 1e-6), -1.0)
+        res = _track_kernel(
+            R, t, lm_pw_d, lm_desc_d, jnp.zeros(SLAB, jnp.int32),
+            lm_valid_d,
+            Frame(uv=fl.uv, level=fl.level, angle=fl.angle, desc=fl.desc,
+                  ur=u_r, depth=depth, valid=fl.valid,
+                  timestamp=jnp.asarray(0.0)),
+            jnp.asarray(inv_sigma2), jnp.asarray(scales),
+            jnp.asarray(15.0, jnp.float32), jnp.asarray(6.0, jnp.float32),
+            jnp.asarray(bf, jnp.float32), cam)
+        return res.Rcw, res.tcw, res.n_inliers
+
+    def step_fn(imgs, R, t):
+        Rn, tn, ninl = jax.vmap(one_stream)(imgs, R, t)
+        return Rn, tn, jnp.sum(ninl)     # global scalar => all-reduce
+
+    step = jax.jit(step_fn,
+                   in_shardings=(shard_b, shard_b, shard_b),
+                   out_shardings=(shard_b, shard_b, repl))
+    R, t, s = step(imgs, R0, t0)
+    jax.block_until_ready((R, t, s))     # compile + warm
+    st = time.time()
+    for _ in range(F_ROUNDS):
+        R, t, s = step(imgs, R, t)
+    jax.block_until_ready((R, t, s))
+    dt = time.time() - st
+    return n_g * F_ROUNDS / dt
+
+
+def _run_psum(jax, tag: str) -> float:
+    """Isolated all-reduce of the BA camera-system payload
+    (S [K,K,6,6] + Hpp [K,6,6] + rhs [K,6]) over the global mesh:
+    ms per reduction — the collective term of the efficiency breakdown."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs), ("lm",))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+                       out_specs=(P(), P(), P()))
+    def reduce_once(S, H, r):
+        return (jax.lax.psum(S, "lm"), jax.lax.psum(H, "lm"),
+                jax.lax.psum(r, "lm"))
+
+    rng = np.random.RandomState(0)
+    args = [jax.device_put(jnp.asarray(
+        rng.rand(*sh).astype(np.float32)), repl)
+        for sh in [(K, K, 6, 6), (K, 6, 6), (K, 6)]]
+    out = reduce_once(*args)
+    jax.block_until_ready(out)
+    st = time.time()
+    for _ in range(PSUM_REPS):
+        out = reduce_once(out[0] * 0.5, out[1] * 0.5, out[2] * 0.5)
+    jax.block_until_ready(out)
+    return (time.time() - st) / PSUM_REPS * 1e3
+
+
+def _measure_all(jax, tag: str) -> dict:
+    iters_s, Rcw, tcw = _run_ba(jax, tag)
+    frames_s = _run_frames(jax, tag)
+    psum_ms = _run_psum(jax, tag)
+    return {"iters_s": iters_s, "frames_s": frames_s, "psum_ms": psum_ms,
+            "Rcw": Rcw, "tcw": tcw}
+
+
 def worker(args):
-    jax = _configure_jax(DEV_PER_PROC)
+    jax = _configure_jax(args.dev_per_proc)
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id)
-    assert len(jax.devices()) == args.num_processes * DEV_PER_PROC
-    iters_s, Rcw, tcw = _run_ba(jax, f"proc{args.process_id}")
+    assert len(jax.devices()) == args.num_processes * args.dev_per_proc
+    res = _measure_all(jax, f"proc{args.process_id}")
     if args.process_id == 0:
         import numpy as np
-        np.savez(args.out, iters_s=iters_s, Rcw=Rcw, tcw=tcw)
+        np.savez(args.out, iters_s=res["iters_s"],
+                 frames_s=res["frames_s"], psum_ms=res["psum_ms"],
+                 Rcw=res["Rcw"], tcw=res["tcw"])
     jax.distributed.shutdown()
 
 
-def coordinator():
-    # ---- run A: single process, all devices local -------------------
-    jax = _configure_jax(N_PROC * DEV_PER_PROC)
+def _spawn_run(n_proc: int, dev_per_proc: int):
     import numpy as np
-    iters_a, Rcw_a, tcw_a = _run_ba(jax, "local")
-    print(f"1 process x {N_PROC * DEV_PER_PROC} devices: "
-          f"{iters_a:.3f} iters/s", flush=True)
-
-    # ---- run B: N processes, gloo collectives -----------------------
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-    out_npz = os.path.join("/tmp", f"multihost_{os.getpid()}.npz")
+    out_npz = os.path.join("/tmp", f"multihost_{os.getpid()}_{n_proc}.npz")
     env = dict(os.environ, PYTHONPATH=REPO + ":"
                + os.environ.get("PYTHONPATH", ""))
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
-             "--process-id", str(i), "--num-processes", str(N_PROC),
+             "--process-id", str(i), "--num-processes", str(n_proc),
+             "--dev-per-proc", str(dev_per_proc),
              "--coordinator", f"localhost:{port}", "--out", out_npz],
             env=env)
-        for i in range(N_PROC)
+        for i in range(n_proc)
     ]
-    rcs = [p.wait(timeout=900) for p in procs]
+    rcs = [p.wait(timeout=1800) for p in procs]
     if any(rcs):
-        raise SystemExit(f"worker failed: rcs={rcs}")
+        raise SystemExit(f"worker failed ({n_proc} procs): rcs={rcs}")
     got = np.load(out_npz)
-    iters_b = float(got["iters_s"])
-    print(f"{N_PROC} processes x {DEV_PER_PROC} devices: "
-          f"{iters_b:.3f} iters/s", flush=True)
+    os.unlink(out_npz)
+    return got
 
-    pose_match = bool(
-        np.allclose(got["Rcw"], Rcw_a, atol=1e-6)
-        and np.allclose(got["tcw"], tcw_a, atol=1e-5))
+
+def coordinator():
+    # ---- run A: single process, all devices local -------------------
+    jax = _configure_jax(TOTAL_DEV)
+    import numpy as np
+    res_a = _measure_all(jax, "local")
+    print(f"A: 1 proc x {TOTAL_DEV} dev: {res_a['iters_s']:.3f} iters/s, "
+          f"{res_a['frames_s']:.2f} frames/s, "
+          f"psum {res_a['psum_ms']:.2f} ms", flush=True)
+
     result = {
         "problem": {"K": K, "M": M, "iters": ITERS},
-        "mesh": {"devices": N_PROC * DEV_PER_PROC,
-                 "procs_single": 1, "procs_multi": N_PROC},
+        "total_devices": TOTAL_DEV,
         "collectives": "gloo",
-        "single_host_iters_per_s": round(iters_a, 3),
-        "multi_host_iters_per_s": round(iters_b, 3),
-        "cross_host_efficiency": round(iters_b / max(iters_a, 1e-9), 3),
-        "pose_output_matches_single_host": pose_match,
-        "note": "same 4-way landmark-sharded program; only the psum "
-                "transport differs (in-process vs gloo across processes "
-                "= the DCN proxy). CPU host has 4 shared cores.",
+        "frontend": {"feats": FEATS, "hw": [FH, FW],
+                     "note": "one camera stream per device + psum'd "
+                             "global inlier count per round"},
+        "runs": {"1proc": {
+            "ba_iters_per_s": round(float(res_a["iters_s"]), 3),
+            "frames_per_s": round(float(res_a["frames_s"]), 2),
+            "psum_ms": round(float(res_a["psum_ms"]), 3)}},
+        "note": "same N-way landmark-sharded program in every run; only "
+                "the psum transport differs (in-process vs gloo across "
+                "processes = the DCN proxy). CPU host has 4 shared "
+                "physical cores, so multi-process rows also absorb "
+                "scheduler contention the TPU path would not see.",
     }
+
+    # ---- runs B/C: multi-process, gloo ------------------------------
+    configs = [(p, TOTAL_DEV // p)
+               for p in (2, 4) if p <= TOTAL_DEV and TOTAL_DEV % p == 0]
+    for n_proc, dpp in configs:
+        got = _spawn_run(n_proc, dpp)
+        iters_b = float(got["iters_s"])
+        frames_b = float(got["frames_s"])
+        psum_b = float(got["psum_ms"])
+        pose_match = bool(
+            np.allclose(got["Rcw"], res_a["Rcw"], atol=1e-6)
+            and np.allclose(got["tcw"], res_a["tcw"], atol=1e-5))
+        iter_ms_a = 1e3 / max(res_a["iters_s"], 1e-9)
+        iter_ms_b = 1e3 / max(iters_b, 1e-9)
+        result["runs"][f"{n_proc}proc"] = {
+            "ba_iters_per_s": round(iters_b, 3),
+            "frames_per_s": round(frames_b, 2),
+            "psum_ms": round(psum_b, 3),
+            "ba_efficiency_vs_1proc": round(
+                iters_b / max(float(res_a["iters_s"]), 1e-9), 3),
+            "frames_efficiency_vs_1proc": round(
+                frames_b / max(float(res_a["frames_s"]), 1e-9), 3),
+            "pose_output_matches_single_host": pose_match,
+            # breakdown: how much of the per-iteration slowdown the
+            # isolated collective explains (rest = dispatch/contention)
+            "iter_ms": round(iter_ms_b, 2),
+            "iter_ms_explained_by_psum": round(
+                psum_b - float(res_a["psum_ms"]), 2),
+        }
+        print(f"{n_proc} procs x {dpp} dev: {iters_b:.3f} iters/s "
+              f"(eff {result['runs'][f'{n_proc}proc']['ba_efficiency_vs_1proc']}), "
+              f"{frames_b:.2f} frames/s, psum {psum_b:.2f} ms, "
+              f"pose_match={pose_match}", flush=True)
+
     path = os.environ.get("MH_OUT",
-                          os.path.join(REPO, "MULTIHOST_r03.json"))
+                          os.path.join(REPO, "MULTIHOST_r04.json"))
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    os.unlink(out_npz)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--process-id", type=int, default=0)
-    ap.add_argument("--num-processes", type=int, default=N_PROC)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--dev-per-proc", type=int, default=2)
     ap.add_argument("--coordinator", default="localhost:0")
     ap.add_argument("--out", default="/tmp/multihost.npz")
     args = ap.parse_args()
