@@ -302,6 +302,9 @@ LOOP_SCENARIOS = "stereo_loop,mono_loop,vio_loop"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--seed0", type=int, default=11,
+                    help="base seed (seed_i = seed0 + 7*i); lets one "
+                         "row's N runs split across parallel processes")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--loop-frames", type=int, default=360,
                     help="frames for *_loop scenarios (2 laps at 180/lap)")
@@ -320,7 +323,7 @@ def main():
         nf = args.loop_frames if sc.endswith("_loop") else args.frames
         rows = []
         for run in range(args.n):
-            r = run_once(sc, seed=11 + run * 7, n_frames=nf)
+            r = run_once(sc, seed=args.seed0 + run * 7, n_frames=nf)
             rows.append(r)
             print(f"{sc} run {run}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in r.items()), flush=True)
