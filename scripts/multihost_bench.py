@@ -201,8 +201,11 @@ def _run_psum(jax, tag: str) -> float:
 
 def _measure_all(jax, tag: str) -> dict:
     iters_s, Rcw, tcw = _run_ba(jax, tag)
-    frames_s = _run_frames(jax, tag)
-    psum_ms = _run_psum(jax, tag)
+    if os.environ.get("MH_BA_ONLY", "0") == "1":   # fast test mode
+        frames_s, psum_ms = -1.0, -1.0
+    else:
+        frames_s = _run_frames(jax, tag)
+        psum_ms = _run_psum(jax, tag)
     return {"iters_s": iters_s, "frames_s": frames_s, "psum_ms": psum_ms,
             "Rcw": Rcw, "tcw": tcw}
 
@@ -277,8 +280,10 @@ def coordinator():
     }
 
     # ---- runs B/C: multi-process, gloo ------------------------------
+    procs_list = (2,) if os.environ.get("MH_BA_ONLY", "0") == "1" \
+        else (2, 4)
     configs = [(p, TOTAL_DEV // p)
-               for p in (2, 4) if p <= TOTAL_DEV and TOTAL_DEV % p == 0]
+               for p in procs_list if p <= TOTAL_DEV and TOTAL_DEV % p == 0]
     for n_proc, dpp in configs:
         got = _spawn_run(n_proc, dpp)
         iters_b = float(got["iters_s"])

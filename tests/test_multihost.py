@@ -21,7 +21,7 @@ def test_two_process_gloo_matches_single_process(tmp_path):
     env = dict(
         os.environ,
         PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""),
-        MH_M="4096", MH_ITERS="3", MH_OUT=out,
+        MH_M="4096", MH_ITERS="3", MH_OUT=out, MH_BA_ONLY="1",
     )
     rc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/multihost_bench.py")],
@@ -29,5 +29,6 @@ def test_two_process_gloo_matches_single_process(tmp_path):
     assert rc.returncode == 0, rc.stderr[-2000:]
     with open(out) as f:
         res = json.load(f)
-    assert res["pose_output_matches_single_host"] is True
-    assert res["multi_host_iters_per_s"] > 0
+    two = res["runs"]["2proc"]
+    assert two["pose_output_matches_single_host"] is True
+    assert two["ba_iters_per_s"] > 0

@@ -51,11 +51,14 @@ class SystemConfig:
     # (bMapUpdated semantics).  When False everything is synchronous.
     async_mapping: bool = False
     # Backend queue depth: how many keyframes tracking may run ahead of
-    # the mapping worker before back-pressure blocks (the reference's
-    # SetAcceptKeyFrames(false) keeps the effective depth at ~1 — a deep
-    # queue lets KFs be created on an un-BA'd drifting chain and was the
-    # r3 stereo_async accuracy regression).
-    kf_queue_depth: int = 1
+    # the mapping worker before back-pressure blocks.  Depth 1 blocks
+    # the tracker whenever two KFs arrive within one worker cycle,
+    # costing the async pipeline its p99 latency win; depth 2 keeps the
+    # lag bounded near the reference's SetAcceptKeyFrames semantics
+    # (one in flight + one queued) without stalling tracking.  Measured
+    # accuracy is depth-insensitive over 1..4 (the r3 async accuracy
+    # gap was pipeline lag, not queue depth — scripts/debug_async_gap).
+    kf_queue_depth: int = 2
 
 
 class System:
