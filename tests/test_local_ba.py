@@ -224,3 +224,65 @@ class TestLocalBA:
         res = local_ba(prob_pert, cam, bf)
         err = np.linalg.norm(np.asarray(res.pw) - pw_t, axis=1)
         assert np.median(err) < 2e-2
+
+
+class TestMovingObjectRefit:
+    def test_refit_chi2_separates_moving_from_static(self):
+        """landmark_refit_chi2: a static landmark with a STALE position
+        refits to ~sub-pixel residuals; a MOVING landmark (different true
+        position per observing keyframe) admits no single static point,
+        so its refit median chi2 stays large — the pre-GBA moving-object
+        cull's discriminator."""
+        from vieo_slam_tpu.solvers.local_ba import landmark_refit_chi2
+
+        rng = np.random.RandomState(0)
+        cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+        K, M, O = 8, 64, 6
+        ang = np.linspace(0, np.pi / 2, K)
+        twc = np.stack([2 * np.cos(ang), 2 * np.sin(ang),
+                        np.zeros(K)], -1)
+        fwd = -twc / np.linalg.norm(twc, axis=-1, keepdims=True)
+        up = np.tile([0.0, 0.0, -1.0], (K, 1))
+        right = np.cross(fwd, up)
+        down = np.cross(fwd, right)
+        Rwc = np.stack([right, down, fwd], -1)
+        Rcw = np.swapaxes(Rwc, -1, -2)
+        tcw = -np.einsum("kij,kj->ki", Rcw, twc)
+        pw = (rng.rand(M, 3) - 0.5) * np.asarray([2.0, 2.0, 1.0])
+        moving = np.zeros(M, bool)
+        moving[: M // 4] = True
+        obs_kf = np.stack([rng.permutation(K)[:O] for _ in range(M)])
+        uv = np.zeros((M, O, 2), np.float32)
+        for m_i in range(M):
+            for o in range(O):
+                k = obs_kf[m_i, o]
+                p = pw[m_i].copy()
+                if moving[m_i]:
+                    # 0.3 m excursion, different at each observation
+                    p = p + 0.3 * rng.randn(3)
+                pc = Rcw[k] @ p + tcw[k]
+                uv[m_i, o] = np.asarray(cm.project(
+                    cam, jnp.asarray(pc.astype(np.float32))))
+        prob = BAProblem(
+            Rcw=jnp.asarray(Rcw.astype(np.float32)),
+            tcw=jnp.asarray(tcw.astype(np.float32)),
+            fixed=jnp.asarray([True] + [False] * (K - 1)),
+            # stale positions: static landmarks must REFIT clean
+            pw=jnp.asarray((pw + 0.05 * rng.randn(M, 3)).astype(
+                np.float32)),
+            lm_valid=jnp.ones(M, bool),
+            obs_kf=jnp.asarray(obs_kf.astype(np.int32)),
+            obs_uv=jnp.asarray(uv),
+            obs_ur=jnp.full((M, O), -1.0, jnp.float32),
+            obs_inv_sigma2=jnp.ones((M, O), jnp.float32),
+            obs_valid=jnp.ones((M, O), bool),
+        )
+        med, n_obs = landmark_refit_chi2(
+            prob, cam, jnp.asarray(80.0, jnp.float32))
+        med = np.asarray(med)
+        assert (n_obs == O).all()
+        # every static landmark refits below the cull threshold
+        assert med[~moving].max() < 20.0, med[~moving].max()
+        # the vast majority of movers exceed it
+        frac = (med[moving] > 20.0).mean()
+        assert frac > 0.85, (frac, np.sort(med[moving])[:5])

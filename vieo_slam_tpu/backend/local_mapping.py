@@ -50,6 +50,15 @@ class LocalMappingConfig:
     # the revisit, a 15 s hole no GBA can bridge). Applies to vision;
     # VIO additionally bounds the gap by vio_timespan_cap.
     kf_cull_max_gap: float = 2.0
+    # Pre-GBA moving-object cull: erase landmarks whose refit median
+    # chi2 exceeds this (no single static 3D point explains their
+    # observations — dynamic scene content; static landmarks refit to
+    # chi2 ~1, moving ones to hundreds).  A global BA — especially the
+    # free-scale mono one — that reconciles such observations warps the
+    # whole solution (measured: mono fullBA 0.0055->0.0076 with 2%
+    # dynamic landmarks, improvement without them).  0 disables.
+    gba_moving_cull_chi2: float = 20.0
+    gba_moving_cull_min_obs: int = 4
 
 
 # A single jitted BA entry per padded shape; the pad sizes keep the number
@@ -358,6 +367,26 @@ class LocalMapper:
             snap_next_kf = m._next_kf
         prob = self._pad_problem(prob_np)
         K, M = len(kf_order), len(lm_ids)
+        if self.cfg.gba_moving_cull_chi2 > 0:
+            from ..solvers.local_ba import landmark_refit_chi2
+            from ..utils.metrics import metrics
+
+            med, n_obs = landmark_refit_chi2(
+                prob, self.cam, jnp.asarray(self.bf, jnp.float32))
+            med = np.asarray(med)[:M]
+            n_obs = np.asarray(n_obs)[:M]
+            bad = (med > self.cfg.gba_moving_cull_chi2) \
+                & (n_obs >= self.cfg.gba_moving_cull_min_obs)
+            if bad.any():
+                metrics.count("gba_moving_culled", int(bad.sum()))
+                with m.lock:
+                    m.erase_landmarks(lm_ids[bad])
+                mask = np.ones(prob.pw.shape[0], bool)
+                mask[:M][bad] = False
+                mj = jnp.asarray(mask)
+                prob = prob._replace(
+                    lm_valid=prob.lm_valid & mj,
+                    obs_valid=prob.obs_valid & mj[:, None])
         n_dev = len(jax.devices())
         if distributed is None:
             distributed = n_dev > 1 and prob.pw.shape[0] >= 8192

@@ -131,6 +131,52 @@ def _total_cost(Rcw, tcw, pw, prob, cam, bf, active):
         + jnp.sum(penalty * w_act * (~depth_ok))
 
 
+@jax.jit
+def landmark_refit_chi2(prob: BAProblem, cam, bf):
+    """Best-static-point consistency per landmark.
+
+    Refit every landmark position ALONE (3 damped GN steps on its 3x3
+    system, poses fixed), then return the MEDIAN per-observation chi2 at
+    the refit position.  A static landmark with a stale position refits
+    to ~sub-pixel residuals; a MOVING landmark (dynamic scene content)
+    admits NO single 3D point that explains its observations, so its
+    median chi2 stays large — the discriminator the pre-GBA moving-
+    object cull uses (the reference sheds moving objects through its
+    found-ratio/outlier-erase churn; a global free-scale mono BA that
+    reconciles such observations warps the whole solution).
+
+    Returns (med_chi2 [M], n_obs [M])."""
+    Rcw, tcw = prob.Rcw, prob.tcw
+    use0 = prob.obs_valid & (prob.obs_kf >= 0)
+
+    def refit(pw, _):
+        r, _, Jl, chi2, delta2, depth_ok = _obs_terms(
+            Rcw, tcw, pw, prob, cam, bf)
+        w = huber_weight(chi2, delta2) * prob.obs_inv_sigma2 \
+            * (use0 & depth_ok)
+        V = jnp.einsum("mori,mo,morj->mij", Jl, w, Jl)
+        bl = -jnp.einsum("mori,mo,mor->mi", Jl, w, r)
+        tr = jnp.maximum(jnp.trace(V, axis1=-2, axis2=-1), 1e-8)
+        Vd = V + (1e-3 * tr)[:, None, None] \
+            * jnp.broadcast_to(jnp.eye(3, dtype=V.dtype), V.shape)
+        dl = jnp.einsum("mij,mj->mi", inv3x3(Vd), bl)
+        has = jnp.sum(w, axis=-1) > 0
+        return pw + jnp.where(has[:, None], dl, 0.0), None
+
+    pw_fit, _ = jax.lax.scan(refit, prob.pw, None, length=3)
+    _, _, _, chi2, _, depth_ok = _obs_terms(
+        Rcw, tcw, pw_fit, prob, cam, bf)
+    valid = use0 & depth_ok
+    n_obs = jnp.sum(valid, axis=-1)
+    # masked median: sort invalid slots to +inf, take the (n-1)//2-th
+    c = jnp.where(valid, chi2, jnp.inf)
+    c = jnp.sort(c, axis=-1)
+    idx = jnp.clip((n_obs - 1) // 2, 0, c.shape[-1] - 1)
+    med = jnp.take_along_axis(c, idx[:, None], axis=-1)[:, 0]
+    med = jnp.where(n_obs > 0, med, 0.0)
+    return med, n_obs
+
+
 def inv3x3(V: jax.Array) -> jax.Array:
     """Closed-form batched 3x3 inverse (adjugate / det).
 
