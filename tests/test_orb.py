@@ -2,6 +2,8 @@
 matching under shift/rotation, stereo row matching (SURVEY.md §4 test
 pyramid: numerical unit tests per kernel)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -320,3 +322,47 @@ class TestPallasFast:
             got = np.asarray(fast_nms_blend(jnp.asarray(img), th, tl,
                                             interpret=True))
             np.testing.assert_array_equal(got, want, err_msg=str((h, w)))
+
+
+class TestPallasGather:
+    def test_gather_kernel_matches_xla(self):
+        """pallas_gather.gather_patches_kernel (interpret mode on CPU)
+        must equal the XLA gather_patches(mxu=False) path bit-for-bit,
+        including clamped out-of-border centers and both tail radii."""
+        from vieo_slam_tpu.ops.pallas_gather import gather_patches_kernel
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(120, 160).astype(np.float32) * 255)
+        centers = np.concatenate([
+            np.stack([rng.randint(0, 160, 60),
+                      rng.randint(0, 120, 60)], -1),
+            [[0, 0], [159, 119], [3, 119], [159, 2]],
+        ]).astype(np.int32)
+        for r in (15, orb._TAIL_R):
+            want = np.asarray(orb.gather_patches(
+                img, jnp.asarray(centers), r, mxu=False))
+            got = np.asarray(gather_patches_kernel(
+                img, jnp.asarray(centers), r, interpret=True))
+            np.testing.assert_array_equal(got, want, err_msg=str(r))
+
+    def test_fused_tail_with_gather_kernel(self, monkeypatch):
+        """extract_tail_fused routed through the Pallas gather must give
+        identical angles and descriptors to the XLA-gather fused tail:
+        the kernel is exact f32, so the only permitted difference is
+        none."""
+        from vieo_slam_tpu.ops import pallas_gather
+
+        monkeypatch.setattr(orb, "_use_gather_kernel", lambda *_: True)
+        monkeypatch.setattr(
+            pallas_gather, "gather_patches_kernel",
+            functools.partial(pallas_gather.gather_patches_kernel,
+                              interpret=True))
+        rng = np.random.RandomState(5)
+        img = jnp.asarray(rng.rand(120, 160).astype(np.float32) * 255)
+        centers = jnp.asarray(np.stack(
+            [rng.randint(19, 160 - 19, 50),
+             rng.randint(19, 120 - 19, 50)], -1).astype(np.int32))
+        ang0, d0 = orb.extract_tail_fused(img, centers)
+        monkeypatch.setattr(orb, "_use_gather_kernel", lambda *_: False)
+        ang1, d1 = orb.extract_tail_fused(img, centers)
+        np.testing.assert_array_equal(np.asarray(ang0), np.asarray(ang1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))

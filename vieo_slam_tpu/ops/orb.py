@@ -295,6 +295,61 @@ def select_keypoints(score: jax.Array, n_keep: int, cfg: OrbConfig):
     return uv, top_scores, valid
 
 
+def select_keypoints_batched(scores: list, n_keeps: list, cfg: OrbConfig):
+    """Cross-level batched select_keypoints: identical results, ONE pair
+    of top-k programs for all pyramid levels instead of one per level.
+
+    Each level's per-cell candidate table is padded to the largest
+    level's cell count and stacked, so the per-cell top-k and the global
+    top-N run as single batched sorts ([L, Gmax, c*c] / [L, Gmax*k]) —
+    the 8 small per-level sorts are latency-bound on TPU (r4 profile:
+    0.33 ms of the 1.31 ms extraction total). Pad rows carry score 0 and
+    sit AFTER every real cell, so lax.top_k's stable tie order prefers
+    real entries and the selected set matches the per-level path
+    exactly; pad picks (only when a level has fewer cells*k than its
+    budget) come out with score 0 => valid=False, same as the unbatched
+    shortfall path.
+
+    Returns [(uv, score, valid), ...] per level, shapes [n_keep_l, ...].
+    """
+    c = cfg.cell_size
+    k = min(cfg.cell_topk, c * c)
+    dims = []
+    cell_rows = []
+    for score in scores:
+        h, w = score.shape
+        gy, gx = -(-h // c), -(-w // c)
+        padded = jnp.pad(score, ((0, gy * c - h), (0, gx * c - w)))
+        cells = padded.reshape(gy, c, gx, c).transpose(0, 2, 1, 3).reshape(
+            gy * gx, c * c)
+        dims.append((h, w, gx, gy * gx))
+        cell_rows.append(cells)
+    g_max = max(d[3] for d in dims)
+    stacked = jnp.stack([jnp.pad(r, ((0, g_max - r.shape[0]), (0, 0)))
+                         for r in cell_rows])                # [L, Gmax, c*c]
+    cell_scores, cell_idx = jax.lax.top_k(stacked, k)        # [L, Gmax, k]
+    flat_scores = cell_scores.reshape(len(scores), -1)       # [L, Gmax*k]
+    n_max = min(max(n_keeps), g_max * k)
+    top_scores, top_i = jax.lax.top_k(flat_scores, n_max)    # [L, n_max]
+    g_sel = top_i // k                                       # cell of pick
+    in_cell = jnp.take_along_axis(
+        cell_idx.reshape(len(scores), -1), top_i, axis=-1)
+    out = []
+    for lv, (h, w, gx, g_l) in enumerate(dims):
+        n_l = min(n_keeps[lv], g_max * k)
+        s = top_scores[lv, :n_l]
+        g = g_sel[lv, :n_l]
+        ic = in_cell[lv, :n_l]
+        uv = jnp.stack([(g % gx) * c + ic % c,
+                        (g // gx) * c + ic // c], axis=-1).astype(jnp.int32)
+        b = cfg.border
+        valid = ((s > 0) & (g < g_l)
+                 & (uv[:, 0] >= b) & (uv[:, 0] < w - b)
+                 & (uv[:, 1] >= b) & (uv[:, 1] < h - b))
+        out.append((uv, s, valid))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Orientation + descriptors
 # ---------------------------------------------------------------------------
@@ -454,6 +509,11 @@ def brief_from_patches(patches: jax.Array, angles: jax.Array) -> jax.Array:
 # 375-feat 3.47 -> 3.36 ms (3.27x of the reference 11 ms), 1200-feat
 # 5.17 -> 5.09 ms (6.88x of 35 ms).
 FUSED_TAIL_MODE = _env_mode("ORB_FUSED_TAIL")
+# Patch gather backend inside the fused tail: "auto" routes the 53x53
+# raw-patch gather through the Pallas aligned-window kernel on TPU
+# (ops/pallas_gather.py — zero HBM intermediates vs the one-hot
+# contraction's ~200 MB/frame; exact f32, no bf16 quantization).
+GATHER_KERNEL_MODE = _env_mode("ORB_GATHER_KERNEL")
 _BLUR_HALO = 3
 _TAIL_R = BRIEF_R + _BLUR_HALO           # 26 -> 53x53 raw patch
 
@@ -462,6 +522,37 @@ def _use_fused_tail() -> bool:
     if FUSED_TAIL_MODE == "auto":
         return jax.default_backend() == "tpu"
     return FUSED_TAIL_MODE == "on"
+
+
+# v5e A/B (scripts/ab_extract_modes.py + /tmp/ab2 rerun, 2026-08-20,
+# cross-level tail): the Pallas gather wins the 1200-feat/8-level
+# extract (1.590 vs 1.699 ms) but loses the 375-feat/4-level one
+# (0.474 vs 0.412) — its per-call image pad/copy overhead outweighs the
+# avoided one-hot HBM traffic when the keypoint total is small. "auto"
+# uses it on TPU only above the measured crossover.
+_GATHER_KERNEL_MIN_TOTAL = 800
+
+
+def _use_gather_kernel(n_total: int | None = None) -> bool:
+    if GATHER_KERNEL_MODE == "auto":
+        return (jax.default_backend() == "tpu"
+                and (n_total is None
+                     or n_total >= _GATHER_KERNEL_MIN_TOTAL))
+    return GATHER_KERNEL_MODE == "on"
+
+
+# Cross-level batched selection (select_keypoints_batched): measured a
+# REGRESSION on v5e (scripts/ab_extract_modes.py 2026-08-20: 1200-feat
+# extract 2.37 ms vs 1.59, 375-feat 0.755 vs 0.546) — padding every
+# level to the level-0 cell count does ~2.5x the sort work, and the
+# per-level top-k sorts turn out NOT to be latency-bound at these
+# sizes. Kept behind an off-by-default switch as the recorded negative
+# result; "auto" = off everywhere.
+BATCHED_SELECT_MODE = _env_mode("ORB_BATCHED_SELECT")
+
+
+def _use_batched_select() -> bool:
+    return BATCHED_SELECT_MODE == "on"
 
 
 def _blur7_patch(patches: jax.Array, sigma: float = 2.0) -> jax.Array:
@@ -477,19 +568,56 @@ def _blur7_patch(patches: jax.Array, sigma: float = 2.0) -> jax.Array:
     return v
 
 
-def extract_tail_fused(im: jax.Array, uv: jax.Array):
-    """Fused orientation + descriptor tail: ONE patch gather per keypoint.
+def _gather_tail_patches(im: jax.Array, uv: jax.Array,
+                         n_total: int | None = None) -> jax.Array:
+    """[N, 53, 53] raw tail patches via the configured gather backend.
 
-    Returns (angle [N], desc [N, 8]). `im` is the RAW (unblurred) level
-    image, matching the reference (IC_Angle on the pyramid image,
-    descriptors on the blurred one, ORBextractor.cc:1012-1024)."""
-    big = gather_patches(im, uv, _TAIL_R)                   # [N, 53, 53]
+    `n_total` is the whole-frame keypoint count (all levels), used by
+    the auto-mode crossover; None = this call is the whole frame."""
+    if _use_gather_kernel(uv.shape[0] if n_total is None else n_total):
+        from . import pallas_gather
+        return pallas_gather.gather_patches_kernel(im, uv, _TAIL_R)
+    return gather_patches(im, uv, _TAIL_R)
+
+
+def _tail_from_big(big: jax.Array):
+    """(angle, desc) from pre-gathered [N, 53, 53] raw patches."""
     c0 = _TAIL_R - PATCH_RADIUS
     ang = ic_angle(big[:, c0:c0 + 2 * PATCH_RADIUS + 1,
                        c0:c0 + 2 * PATCH_RADIUS + 1])
     blurp = _blur7_patch(big)                               # [N, 47, 47]
     desc = brief_from_patches(blurp, ang)
     return ang, desc
+
+
+def extract_tail_fused(im: jax.Array, uv: jax.Array):
+    """Fused orientation + descriptor tail: ONE patch gather per keypoint.
+
+    Returns (angle [N], desc [N, 8]). `im` is the RAW (unblurred) level
+    image, matching the reference (IC_Angle on the pyramid image,
+    descriptors on the blurred one, ORBextractor.cc:1012-1024)."""
+    return _tail_from_big(_gather_tail_patches(im, uv))
+
+
+def extract_tail_fused_multi(level_imgs: list, level_uvs: list):
+    """Cross-level fused tail: per-level patch gathers (images differ in
+    size), then ONE concatenated blur + IC-angle + BRIEF program for all
+    levels — identical per-row math to extract_tail_fused, but the 8
+    per-level keypoint-tail op groups (each latency-bound at a few
+    hundred rows) collapse into one.
+
+    Returns [(angle, desc), ...] per level, in input order."""
+    n_total = sum(int(uv.shape[0]) for uv in level_uvs)
+    bigs = [_gather_tail_patches(im, uv, n_total)
+            for im, uv in zip(level_imgs, level_uvs)]
+    ang, desc = _tail_from_big(jnp.concatenate(bigs))
+    out = []
+    o = 0
+    for b in bigs:
+        n = b.shape[0]
+        out.append((ang[o:o + n], desc[o:o + n]))
+        o += n
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -505,28 +633,41 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
     pyramid = build_pyramid(img, cfg)
     per_level = cfg.features_per_level
 
-    uts, lvls, angs, scs, descs, vals = [], [], [], [], [], []
-    for lv, im in enumerate(pyramid):
+    levels = [(lv, pyramid[lv]) for lv in range(len(pyramid))
+              if int(per_level[lv]) > 0]
+    # Strict threshold with permissive fallback (reference
+    # iniThFAST->minThFAST per cell); blended maps keep selection
+    # fixed-shape. Fused Pallas kernel on TPU, XLA elsewhere.
+    scores = [_blended_score(im, cfg) for _, im in levels]
+    if _use_batched_select():
+        sels = select_keypoints_batched(
+            scores, [int(per_level[lv]) for lv, _ in levels], cfg)
+    else:
+        sels = [select_keypoints(s, int(per_level[lv]), cfg)
+                for s, (lv, _) in zip(scores, levels)]
+    sels2 = []
+    for (uv, s, valid), (lv, _) in zip(sels, levels):
         n_l = int(per_level[lv])
-        if n_l == 0:
-            continue
-        # Strict threshold with permissive fallback (reference
-        # iniThFAST->minThFAST per cell); blended maps keep selection
-        # fixed-shape. Fused Pallas kernel on TPU, XLA elsewhere.
-        score = _blended_score(im, cfg)
-        uv, s, valid = select_keypoints(score, n_l, cfg)
         if uv.shape[0] < n_l:  # tiny levels: pad capacity
             padn = n_l - uv.shape[0]
             uv = jnp.pad(uv, ((0, padn), (0, 0)))
             s = jnp.pad(s, (0, padn))
             valid = jnp.pad(valid, (0, padn))
-        if _use_fused_tail():
-            ang, desc = extract_tail_fused(im, uv)
-        else:
+        sels2.append((uv, s, valid))
+    if _use_fused_tail():
+        tails = extract_tail_fused_multi(
+            [im for _, im in levels], [uv for uv, _, _ in sels2])
+    else:
+        tails = []
+        for (lv, im), (uv, _, _) in zip(levels, sels2):
             patches = gather_patches(im, uv, PATCH_RADIUS)
             ang = ic_angle(patches)
             blur = gaussian_blur7(im)
-            desc = brief_descriptors(blur, uv, ang)
+            tails.append((ang, brief_descriptors(blur, uv, ang)))
+
+    uts, lvls, angs, scs, descs, vals = [], [], [], [], [], []
+    for (lv, im), (uv, s, valid), (ang, desc) in zip(levels, sels2, tails):
+        n_l = int(per_level[lv])
         scale = float(cfg.level_scales[lv])
         uts.append(uv.astype(jnp.float32) * scale)
         lvls.append(jnp.full((n_l,), lv, jnp.int32))
@@ -563,8 +704,13 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
     B = imgs.shape[0]
     pyramid = build_pyramid(imgs, cfg)
     per_level = cfg.features_per_level
+    fused_tail = _use_fused_tail()
 
     fields: list[list] = [[] for _ in range(B)]
+    # Per-(level, image) selection inputs, flattened so that batched
+    # selection and the cross-level fused tail each run as ONE program
+    # over all levels AND both images.
+    sel_scores, sel_meta = [], []          # meta: (lv, b, im_b, blur_b)
     for lv, im in enumerate(pyramid):
         n_l = int(per_level[lv])
         if n_l == 0:
@@ -581,26 +727,43 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
             score_b = nms3(s_hi)
             score_lo_b = nms3(s_lo)
             score_all = jnp.where(score_b > 0, score_b + 1e4, score_lo_b)
-        fused_tail = _use_fused_tail()
         blur_all = None if fused_tail else gaussian_blur7(im)
-        scale = float(cfg.level_scales[lv])
         for b in range(B):
-            uv, s, valid = select_keypoints(score_all[b], n_l, cfg)
-            if uv.shape[0] < n_l:
-                padn = n_l - uv.shape[0]
-                uv = jnp.pad(uv, ((0, padn), (0, 0)))
-                s = jnp.pad(s, (0, padn))
-                valid = jnp.pad(valid, (0, padn))
-            if fused_tail:
-                ang, desc = extract_tail_fused(im[b], uv)
-            else:
-                patches = gather_patches(im[b], uv, PATCH_RADIUS)
-                ang = ic_angle(patches)
-                desc = brief_descriptors(blur_all[b], uv, ang)
-            fields[b].append((
-                uv.astype(jnp.float32) * scale,
-                jnp.full((n_l,), lv, jnp.int32),
-                ang, jnp.where(valid, s, 0.0), desc, valid))
+            sel_scores.append(score_all[b])
+            sel_meta.append((lv, b, im[b],
+                             None if fused_tail else blur_all[b]))
+    if _use_batched_select():
+        sels = select_keypoints_batched(
+            sel_scores, [int(per_level[lv]) for lv, *_ in sel_meta], cfg)
+    else:
+        sels = [select_keypoints(s, int(per_level[lv]), cfg)
+                for s, (lv, *_) in zip(sel_scores, sel_meta)]
+    sels2 = []
+    for (uv, s, valid), (lv, *_) in zip(sels, sel_meta):
+        n_l = int(per_level[lv])
+        if uv.shape[0] < n_l:
+            padn = n_l - uv.shape[0]
+            uv = jnp.pad(uv, ((0, padn), (0, 0)))
+            s = jnp.pad(s, (0, padn))
+            valid = jnp.pad(valid, (0, padn))
+        sels2.append((uv, s, valid))
+    if fused_tail:
+        tails = extract_tail_fused_multi(
+            [m[2] for m in sel_meta], [uv for uv, _, _ in sels2])
+    else:
+        tails = []
+        for (lv, b, im_b, blur_b), (uv, _, _) in zip(sel_meta, sels2):
+            patches = gather_patches(im_b, uv, PATCH_RADIUS)
+            ang = ic_angle(patches)
+            tails.append((ang, brief_descriptors(blur_b, uv, ang)))
+    for (lv, b, *_), (uv, s, valid), (ang, desc) in zip(
+            sel_meta, sels2, tails):
+        n_l = int(per_level[lv])
+        scale = float(cfg.level_scales[lv])
+        fields[b].append((
+            uv.astype(jnp.float32) * scale,
+            jnp.full((n_l,), lv, jnp.int32),
+            ang, jnp.where(valid, s, 0.0), desc, valid))
 
     def cat(b, i):
         return jnp.concatenate([t[i] for t in fields[b]])
