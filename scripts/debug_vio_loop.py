@@ -103,6 +103,46 @@ def main():
     build = jax.jit(lambda l, r, t: build_stereo_frame(
         l, r, ocfg, bf=bf, min_depth=0.3, max_depth=15.0, timestamp=t))
 
+    if vio is not None:
+        # Isolate the final-init phases: ATE after the linear-init
+        # write-back (pre-attach) vs after the init-GBA (post-attach).
+        orig_attach = vio._attach_backend
+
+        def attach_hook():
+            print(f"    ATE post-write-back(pre-GBA) = {kf_ate():.4f}",
+                  flush=True)
+            if os.environ.get("DBG_NO_INITGBA", "0") == "1":
+                vio.cfg.run_init_gba = False
+            orig_attach()
+            print(f"    ATE post-attach(post-GBA)    = {kf_ate():.4f}",
+                  flush=True)
+
+        vio._attach_backend = attach_hook
+        if os.environ.get("DBG_NO_GDIR") or os.environ.get(
+                "DBG_NO_INITPRIOR"):
+            import vieo_slam_tpu.vio.backend as vb
+            _orig_gba = vb.VioBackend.run_global_ba
+
+            def _gba(selfb, **kw):
+                if os.environ.get("DBG_NO_GDIR", "0") == "1":
+                    kw["opt_gdir"] = False
+                if os.environ.get("DBG_NO_INITPRIOR", "0") == "1":
+                    kw["init_prior"] = False
+                return _orig_gba(selfb, **kw)
+
+            vb.VioBackend.run_global_ba = _gba
+        if os.environ.get("DBG_GBA_ITERS"):
+            import vieo_slam_tpu.vio.backend as vb
+            iters = tuple(int(x) for x in
+                          os.environ["DBG_GBA_ITERS"].split(","))
+            _orig_init = vb.VioBackendConfig.__init__
+
+            def _patched(selfc, *a, **kw):
+                _orig_init(selfc, *a, **kw)
+                selfc.gba_stage_iters = iters
+
+            vb.VioBackendConfig.__init__ = _patched
+
     inited_reported = [False]
     imu_i = 0
     n_kf_last = 0

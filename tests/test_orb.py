@@ -366,3 +366,36 @@ class TestPallasGather:
         ang1, d1 = orb.extract_tail_fused(img, centers)
         np.testing.assert_array_equal(np.asarray(ang0), np.asarray(ang1))
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestPallasTail:
+    def test_tail_kernel_matches_fused_tail(self):
+        """pallas_tail.tail_fused_multi_kernel (interpret mode) vs the
+        XLA fused tail, multi-level atlas with border keypoints: angles
+        within reduction-order tolerance (the kernel emits raw moments,
+        the caller takes an exact atan2; the moment sums themselves
+        reduce in a different order), descriptors near-identical (bits
+        may flip only where the cos/sin-vs-atan2 ULP moves a rotated
+        tap across a round() boundary)."""
+        from vieo_slam_tpu.ops import pallas_tail
+        rng = np.random.RandomState(4)
+        imgs = [jnp.asarray(rng.rand(h, w).astype(np.float32) * 255)
+                for h, w in ((120, 160), (100, 133), (83, 111))]
+        uvs = []
+        for im in imgs:
+            H, W = im.shape
+            uvs.append(jnp.asarray(np.concatenate([
+                np.stack([rng.randint(19, W - 19, 30),
+                          rng.randint(19, H - 19, 30)], -1),
+                [[19, 19], [W - 20, H - 20]]]).astype(np.int32)))
+        outs = pallas_tail.tail_fused_multi_kernel(imgs, uvs,
+                                                   interpret=True)
+        n_bits = tot = 0
+        for im, uv, (ang1, d1) in zip(imgs, uvs, outs):
+            ang0, d0 = orb.extract_tail_fused(im, uv)
+            np.testing.assert_allclose(np.asarray(ang0), np.asarray(ang1),
+                                       atol=2e-4)
+            tot += np.unpackbits(np.ascontiguousarray(
+                np.asarray(d0) ^ np.asarray(d1)).view(np.uint8)).sum()
+            n_bits += d0.size * 32
+        assert tot <= 0.001 * n_bits, (tot, n_bits)

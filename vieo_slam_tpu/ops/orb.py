@@ -530,6 +530,23 @@ def _use_fused_tail() -> bool:
 # (0.474 vs 0.412) — its per-call image pad/copy overhead outweighs the
 # avoided one-hot HBM traffic when the keypoint total is small. "auto"
 # uses it on TPU only above the measured crossover.
+# Whole-tail Pallas kernel (ops/pallas_tail.py): the entire keypoint
+# tail — patch gather, in-patch blur, IC-angle, rotated-BRIEF taps —
+# for ALL levels in ONE kernel over a stacked level atlas; zero HBM
+# intermediates. Exact vs the XLA fused tail to reduction-order ULPs
+# (measured 0.009% descriptor bits). MEASURED SLOWER on v5e
+# (/tmp/ab3 2026-08-20: 1200-feat extract 2.95 vs 1.71 ms, 375-feat
+# 1.00 vs 0.58): the per-keypoint [512,47]x[47,128] tap matmuls are too
+# small to fill the MXU and Mosaic runs the unrolled chunk serially,
+# while XLA's one-hot tail, though HBM-heavy on paper, fuses well.
+# Kept off-by-default as the recorded negative result; "auto" = off.
+TAIL_KERNEL_MODE = _env_mode("ORB_TAIL_KERNEL")
+
+
+def _use_tail_kernel() -> bool:
+    return TAIL_KERNEL_MODE == "on"
+
+
 _GATHER_KERNEL_MIN_TOTAL = 800
 
 
@@ -607,6 +624,9 @@ def extract_tail_fused_multi(level_imgs: list, level_uvs: list):
     hundred rows) collapse into one.
 
     Returns [(angle, desc), ...] per level, in input order."""
+    if _use_tail_kernel():
+        from . import pallas_tail
+        return pallas_tail.tail_fused_multi_kernel(level_imgs, level_uvs)
     n_total = sum(int(uv.shape[0]) for uv in level_uvs)
     bigs = [_gather_tail_patches(im, uv, n_total)
             for im, uv in zip(level_imgs, level_uvs)]
