@@ -78,17 +78,37 @@ def run_once(scenario: str, seed: int, n_frames: int):
         EncoderConfig, EncoderFrontend)
     from vieo_slam_tpu.vio.frontend import VioConfig, VioFrontend
 
+    from vieo_slam_tpu.utils.metrics import metrics
+
     BASELINE = 0.2
     fx = 400.0
     cam = cm.make_pinhole(fx, fx, 320.0, 240.0, 640, 480)
     bf = fx * BASELINE
-    # Loop rows re-traverse the multi-lap circle; the other rows run
-    # the 1/3-circle plumbing scenario.  `base` is the sensor pipeline
-    # the loop row runs on.
+    # Loop rows re-traverse the multi-lap circle; blackout rows corrupt a
+    # mid-run frame span (visual dropout -> LOST -> relocalization, or
+    # ODOMOK dead-reckoning for odometry-carrying rows); map_reuse saves
+    # the map mid-run, reloads it into a FRESH system and relocalizes
+    # against it (System::LoadMap + MAP_REUSE); the other rows run the
+    # 1/3-circle plumbing scenario.  `base` is the sensor pipeline.
     is_loop = scenario.endswith("_loop")
+    is_blackout = scenario.endswith("_blackout")
     base = {"stereo_loop": "stereo", "mono_loop": "mono",
             "vio_loop": "stereo_vio",
+            "stereo_blackout": "stereo", "vio_blackout": "stereo_vio",
+            "map_reuse": "stereo",
             "multicam4_kb8": "multicam_kb8"}.get(scenario, scenario)
+    # Blackout span: 12 consecutive frames mid-run (the reference's
+    # robustness regime: Tracking goes LOST and must come back through
+    # Relocalization, src/Tracking.cc:2529, or bridge on odometry,
+    # TrackWithOnlyOdom :79-155).
+    # at 3/5 of the run: past VIO final-init for the vio row, with
+    # enough post-recovery frames left to gate the recovered ATE on
+    bo_start, bo_end = ((3 * n_frames) // 5, (3 * n_frames) // 5 + 12) \
+        if is_blackout else (-1, -1)
+    reuse_at = (3 * n_frames) // 5 if scenario == "map_reuse" else -1
+    # per-run counter deltas (metrics is process-global)
+    _ctr_keys = ("state_LOST", "state_ODOMOK", "reloc_success")
+    ctr0 = {key: metrics.counters.get(key, 0) for key in _ctr_keys}
     n_rig_cams = 4 if scenario == "multicam4_kb8" else 2
     ts = np.arange(n_frames) * 0.1
     if is_loop:
@@ -158,9 +178,11 @@ def run_once(scenario: str, seed: int, n_frames: int):
     # Loop rows: snapshot the keyframe ATE immediately before/after each
     # loop correction — the closure's own contribution, separate from
     # the final-GBA A/B the reference publishes.
-    def kf_ate():
+    def kf_ate(t_min: float = -1.0):
         m = sys_.map
         kfs = m.keyframe_ids()
+        if t_min > 0:
+            kfs = kfs[m.kf_timestamp[kfs] > t_min]
         p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
         # mono: similarity (scale-free) alignment, like the reference's
         # mono evaluation
@@ -235,6 +257,23 @@ def run_once(scenario: str, seed: int, n_frames: int):
     imu_i = enc_i = 0
     for i in range(n_frames):
         t = float(ts[i])
+        if i == reuse_at:
+            # MAP_REUSE (System.cc:69-270, :578-586): persist the map,
+            # stand up a FRESH system, load the checkpoint, rebuild the
+            # place-recognition DB, and continue — the next frames must
+            # relocalize against the loaded map before tracking resumes.
+            import os as _os
+            import tempfile
+            fd, mpath = tempfile.mkstemp(suffix=".npz")
+            _os.close(fd)
+            sys_.save_map(mpath)
+            sys_.shutdown()
+            sys_ = System(cam, bf, scfg)
+            sys_.loop_closer = LoopCloser(
+                cam, bf, sys_.map,
+                LoopClosingConfig(min_kf_gap=8, fix_scale=True))
+            sys_.load_map(mpath)
+            _os.unlink(mpath)
         if vio is not None:
             t_imu, gyro, acc = imu
             while imu_i < len(t_imu) and t_imu[imu_i] <= t:
@@ -252,6 +291,11 @@ def run_once(scenario: str, seed: int, n_frames: int):
                     "veo"):
             img_l, img_r = world.render_stereo(
                 cam, Rcw[i], tcw[i], BASELINE, **hard)
+            if bo_start <= i < bo_end:
+                # visual dropout: sensor blackout (lens cover / exposure
+                # failure) — featureless frames
+                img_l = np.zeros_like(img_l)
+                img_r = np.zeros_like(img_r)
             frame = build(jnp.asarray(img_l), jnp.asarray(img_r),
                           jnp.asarray(t, jnp.float64))
         elif base == "rgbd":
@@ -291,12 +335,29 @@ def run_once(scenario: str, seed: int, n_frames: int):
         # corrected map — the closure's own ATE cut, before any GBA.
         out["rmse_preLC"] = lc_events[0][0] if lc_events else float("nan")
         out["rmse_postLC"] = lc_events[0][1] if lc_events else float("nan")
+        # SearchAndFuse breadth: cross-lap fuses (merges + added
+        # observations) across all closures this run
+        out["fused_points"] = float(sys_.loop_closer.total_fuse_count)
+    if is_blackout or scenario == "map_reuse":
+        # recovery bookkeeping: LOST frames, odometry-bridged frames,
+        # successful relocalizations, and the ATE of the post-recovery
+        # keyframes only (did the run actually come back healthy?)
+        out["n_lost"] = float(
+            metrics.counters.get("state_LOST", 0) - ctr0["state_LOST"])
+        out["n_odomok"] = float(
+            metrics.counters.get("state_ODOMOK", 0) - ctr0["state_ODOMOK"])
+        out["n_relocs"] = float(
+            metrics.counters.get("reloc_success", 0)
+            - ctr0["reloc_success"])
+        t_rec = float(ts[bo_end]) if is_blackout else float(ts[reuse_at])
+        out["rmse_postRecovery"] = kf_ate(t_min=t_rec)["rmse"]
     return out
 
 
 ALL = ("stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,"
        "multicam_kb8,multicam4_kb8")
 LOOP_SCENARIOS = "stereo_loop,mono_loop,vio_loop"
+RECOVERY_SCENARIOS = "stereo_blackout,vio_blackout,map_reuse"
 
 
 def main():
@@ -309,7 +370,8 @@ def main():
     ap.add_argument("--loop-frames", type=int, default=360,
                     help="frames for *_loop scenarios (2 laps at 180/lap)")
     ap.add_argument("--tpu", action="store_true")
-    ap.add_argument("--scenarios", default=ALL + "," + LOOP_SCENARIOS)
+    ap.add_argument("--scenarios", default=",".join(
+        (ALL, LOOP_SCENARIOS, RECOVERY_SCENARIOS)))
     ap.add_argument("--out", default=None,
                     help="write the aggregate table as JSON")
     args = ap.parse_args()

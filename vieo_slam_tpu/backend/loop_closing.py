@@ -65,6 +65,8 @@ class LoopCloser:
         self._pending: dict[int, int] = {}   # candidate -> streak count
         self.loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.n_loops_closed = 0
+        self.last_fuse_count = 0        # SearchAndFuse merges+additions
+        self.total_fuse_count = 0
 
     # ------------------------------------------------------------------
 
@@ -295,12 +297,101 @@ class LoopCloser:
         self._correct_loop(k, c, S_ck)
         self.last_loop_kf = k
         self.n_loops_closed += 1
-        # fuse the matched duplicates (SearchAndFuse essentials).
+        # fuse the matched duplicates (the Sim3-inlier pairs) ...
         with m.lock:
             for a, b in zip(*inl_pairs):
                 if a != b and m.lm_valid[a] and m.lm_valid[b]:
                     m.replace_landmark(int(a), int(b))
+        # ... then the full-breadth SearchAndFuse: project the loop-side
+        # landmark set through the corrected poses into the current-side
+        # covisibility neighborhood and fuse there too.
+        self.last_fuse_count = self._search_and_fuse(k, c)
+        self.total_fuse_count += self.last_fuse_count
         return True
+
+    def _search_and_fuse(self, k: int, c: int) -> int:
+        """LoopClosing::SearchAndFuse (src/LoopClosing.cc:682-718, called
+        from CorrectLoop :617-627): project ALL loop-side map points
+        (those of KF c and its covisibility ring) through the CORRECTED
+        poses into every current-side keyframe (k and its covisibility
+        ring) and fuse — a matched keypoint that already carries a
+        landmark has it replaced by the loop-side point; a free matched
+        keypoint gains a new cross-lap observation.  This is what welds
+        the two laps together beyond the handful of Sim3-inlier pairs:
+        the many added cross-lap observations let the follow-up GBA pull
+        the whole revisited neighborhood onto the loop-side structure.
+
+        Runs after _correct_loop, so current-side poses are already
+        corrected (the reference fuses with its propagated mg2oScw for
+        the same reason).  Returns the number of fused keypoints."""
+        m = self.map
+        from ..utils.metrics import metrics
+
+        n_fused = 0
+        with m.lock:
+            neigh_c, _ = m.covisible_keyframes(c, min_shared=5)
+            loop_kfs = np.concatenate([[c], neigh_c]).astype(int)
+            lm_loop = m.landmarks_in_keyframes(loop_kfs)
+            lm_loop = lm_loop[m.lm_valid[lm_loop]]
+            if lm_loop.size == 0:
+                return 0
+            neigh_k, _ = m.covisible_keyframes(k, min_shared=5)
+            cur_kfs = np.concatenate([[k], neigh_k]).astype(int)
+            # fixed landmark capacity so the dense association program
+            # compiles once per (cap, n_kp) shape pair
+            cap = -(-len(lm_loop) // 1024) * 1024
+            scales = jnp.asarray(m.level_scales.astype(np.float32))
+            for kf in cur_kfs:
+                kf = int(kf)
+                if not m.kf_valid[kf]:
+                    continue
+                lm_cur = lm_loop[m.lm_valid[lm_loop]]
+                if lm_cur.size == 0:
+                    break
+                # skip loop points this KF already observes
+                # (MapPoint::IsInKeyFrame gate in ORBmatcher::Fuse)
+                seen = np.isin(lm_cur, m.kf_lm_idx[kf][
+                    m.kf_kp_valid[kf] & (m.kf_lm_idx[kf] >= 0)])
+                pc = m.lm_pw[lm_cur] @ m.kf_Rcw[kf].T + m.kf_tcw[kf]
+                uv_proj = np.zeros((cap, 2), np.float32)
+                desc_p = np.zeros((cap, 8), np.uint32)
+                vis = np.zeros(cap, bool)
+                npts = len(lm_cur)
+                uv_proj[:npts] = np.asarray(cm.project(
+                    self.cam, jnp.asarray(pc.astype(np.float32))))
+                desc_p[:npts] = m.lm_desc[lm_cur]
+                vis[:npts] = ((pc[:, 2] > 0.1) & ~seen
+                              & np.asarray(cm.in_image(
+                                  self.cam,
+                                  jnp.asarray(uv_proj[:npts]), 1.0)))
+                idx, _ = matching.fuse_candidates(
+                    jnp.asarray(uv_proj),
+                    jnp.zeros(cap, jnp.int32),
+                    jnp.asarray(desc_p), jnp.asarray(vis),
+                    jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_level[kf]),
+                    jnp.asarray(m.kf_desc[kf]),
+                    jnp.asarray(m.kf_kp_valid[kf]),
+                    radius=6.0, level_scales=scales)
+                idx = np.asarray(idx)[:npts]
+                for li, kp in zip(*(lm_cur[idx >= 0], idx[idx >= 0])):
+                    li, kp = int(li), int(kp)
+                    if not m.lm_valid[li]:
+                        continue
+                    existing = int(m.kf_lm_idx[kf, kp])
+                    if existing == li:
+                        continue
+                    if existing >= 0 and m.lm_valid[existing]:
+                        # duplicate: the loop-side point replaces the
+                        # current-side one everywhere (pRep->Replace)
+                        m.replace_landmark(existing, li)
+                        n_fused += 1
+                    else:
+                        m.kf_lm_idx[kf, kp] = li
+                        m.lm_n_obs[li] += 1
+                        n_fused += 1
+            m.version += 1
+        metrics.count("loop_fused_points", n_fused)
+        return n_fused
 
     def _refine_sim3(self, k: int, c: int, S_ck, pair_k, pair_c):
         """OptimizeSim3 wrapper: build padded per-pair observation arrays

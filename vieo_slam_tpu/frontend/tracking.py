@@ -188,14 +188,30 @@ class Tracker:
         """Select local-map landmarks (covisibility of last KF + its
         neighbours, Tracking::UpdateLocalPoints) into a fixed slab."""
         cap = self.cfg.local_landmark_cap
+        m = self.map
         if self.last_kf_id >= 0:
-            neigh, _ = self.map.covisible_keyframes(self.last_kf_id,
-                                                    min_shared=5)
+            neigh, _ = m.covisible_keyframes(self.last_kf_id,
+                                             min_shared=5)
             kfs = np.concatenate([[self.last_kf_id], neigh[:20]])
-            lm_ids = self.map.landmarks_in_keyframes(kfs)
+            # Priority order: the reference KF's own landmarks first,
+            # then neighbours by covisibility weight.  When the union
+            # exceeds the slab capacity, the truncation must keep the
+            # landmarks most likely in the CURRENT view — id-sorted
+            # truncation (round-4 behavior) kept the OLDEST landmarks,
+            # which under fast rotational sweep (duplicate churn grows
+            # the union past the cap) starved the slab of exactly the
+            # leading-edge landmarks tracking needed: measured on the
+            # lemniscate row, slab coverage collapsed 544 -> 10 over
+            # ~10 frames while prediction error stayed at 1-2 degrees,
+            # and tracking died (scripts/debug_lemniscate.py).
+            lm_all = np.concatenate([
+                m.kf_lm_idx[kf][m.kf_kp_valid[kf] & (m.kf_lm_idx[kf] >= 0)]
+                for kf in kfs])
+            _, first_idx = np.unique(lm_all, return_index=True)
+            lm_ids = lm_all[np.sort(first_idx)]
         else:
-            lm_ids = np.nonzero(self.map.lm_valid)[0]
-        lm_ids = lm_ids[self.map.lm_valid[lm_ids]][:cap]
+            lm_ids = np.nonzero(m.lm_valid)[0]
+        lm_ids = lm_ids[m.lm_valid[lm_ids]][:cap]
         M = len(lm_ids)
         pw = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)

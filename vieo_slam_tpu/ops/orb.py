@@ -346,6 +346,10 @@ def select_keypoints_batched(scores: list, n_keeps: list, cfg: OrbConfig):
         valid = ((s > 0) & (g < g_l)
                  & (uv[:, 0] >= b) & (uv[:, 0] < w - b)
                  & (uv[:, 1] >= b) & (uv[:, 1] < h - b))
+        # Pad picks (g >= g_l, budget beyond this level's real cell
+        # count) carry another level's cell geometry in uv — zero them
+        # so invalid rows match the unbatched shortfall path exactly.
+        uv = jnp.where(valid[:, None], uv, 0)
         out.append((uv, s, valid))
     return out
 
@@ -616,18 +620,26 @@ def extract_tail_fused(im: jax.Array, uv: jax.Array):
     return _tail_from_big(_gather_tail_patches(im, uv))
 
 
-def extract_tail_fused_multi(level_imgs: list, level_uvs: list):
+def extract_tail_fused_multi(level_imgs: list, level_uvs: list,
+                             crossover_total: int | None = None):
     """Cross-level fused tail: per-level patch gathers (images differ in
     size), then ONE concatenated blur + IC-angle + BRIEF program for all
     levels — identical per-row math to extract_tail_fused, but the 8
     per-level keypoint-tail op groups (each latency-bound at a few
     hundred rows) collapse into one.
 
+    `crossover_total` overrides the keypoint total used by the auto
+    gather-backend crossover: extract_orb_batch passes its PER-IMAGE
+    total so batch and stacked single-image extraction always pick the
+    same gather backend (the two differ bit-wise: Pallas gathers exact
+    f32, the one-hot fallback bf16).
+
     Returns [(angle, desc), ...] per level, in input order."""
     if _use_tail_kernel():
         from . import pallas_tail
         return pallas_tail.tail_fused_multi_kernel(level_imgs, level_uvs)
-    n_total = sum(int(uv.shape[0]) for uv in level_uvs)
+    n_total = sum(int(uv.shape[0]) for uv in level_uvs) \
+        if crossover_total is None else crossover_total
     bigs = [_gather_tail_patches(im, uv, n_total)
             for im, uv in zip(level_imgs, level_uvs)]
     ang, desc = _tail_from_big(jnp.concatenate(bigs))
@@ -768,8 +780,13 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
             valid = jnp.pad(valid, (0, padn))
         sels2.append((uv, s, valid))
     if fused_tail:
+        # Per-image crossover total (not the B-image sum) so the gather
+        # backend matches stacked per-image extract_orb calls bit-wise.
+        per_img_total = sum(int(per_level[lv])
+                            for lv, b, *_ in sel_meta if b == 0)
         tails = extract_tail_fused_multi(
-            [m[2] for m in sel_meta], [uv for uv, _, _ in sels2])
+            [m[2] for m in sel_meta], [uv for uv, _, _ in sels2],
+            crossover_total=per_img_total)
     else:
         tails = []
         for (lv, b, im_b, blur_b), (uv, _, _) in zip(sel_meta, sels2):

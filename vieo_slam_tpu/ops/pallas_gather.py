@@ -74,8 +74,14 @@ def gather_patches_kernel(img: jax.Array, centers: jax.Array, radius: int,
                           interpret: bool = False) -> jax.Array:
     """[N, 2r+1, 2r+1] patches around integer (x, y) centers.
 
-    Drop-in for ops/orb.gather_patches: out-of-range taps clamp
-    (edge-padding by r+1, same as the XLA path). Exact f32."""
+    Drop-in for ops/orb.gather_patches for IN-IMAGE centers (the only
+    centers the pipeline produces): out-of-range taps clamp
+    (edge-padding by r+1, same as the XLA path). Exact f32.  Centers
+    are clamped into [0, W) x [0, H) first — a fully off-image center
+    (which the XLA path would resolve by walking taps further into the
+    edge padding) yields the nearest in-image patch instead, keeping
+    every selected tap inside the edge-padded core rather than the
+    zero alignment margin."""
     H, W = img.shape
     N = centers.shape[0]
     d = 2 * radius + 1
@@ -93,8 +99,11 @@ def gather_patches_kernel(img: jax.Array, centers: jax.Array, radius: int,
     padded = jnp.pad(padded, ((0, Hp - H - 2 * pad), (0, Wp - W - 2 * pad)))
     # Top-left of each patch in padded coords, split into an aligned
     # start + residual (computed in XLA; int32 throughout).
-    x0 = jnp.clip(centers[:, 0], -pad, W + pad) + pad - radius
-    y0 = jnp.clip(centers[:, 1], -pad, H + pad) + pad - radius
+    # Clamp centers into the image so the worst-case tap x0 + d - 1 =
+    # (W-1) + pad + radius stays inside the edge-padded core (width
+    # W + 2*pad) and never reads the zero alignment margin.
+    x0 = jnp.clip(centers[:, 0], 0, W - 1) + pad - radius
+    y0 = jnp.clip(centers[:, 1], 0, H - 1) + pad - radius
     ya = (y0 // 8) * 8
     xa = (x0 // _LANE) * _LANE
     yx = jnp.stack([ya, xa, y0 - ya, x0 - xa], axis=-1).astype(jnp.int32)

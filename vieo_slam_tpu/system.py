@@ -221,6 +221,7 @@ class System:
                 with metrics.timer("relocalize"), self.map.lock:
                     if try_relocalize(self, self.loop_closer, frame):
                         state = self.tracker.state
+                        metrics.count("reloc_success")
                 metrics.count("reloc_attempts")
             new_kf = self.tracker.last_new_kf
             if new_kf is not None and not self.cfg.localization_only:
