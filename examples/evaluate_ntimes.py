@@ -57,6 +57,8 @@ def _gain_bias(t):
 
 
 def run_once(scenario: str, seed: int, n_frames: int):
+    import os
+    verbose = os.environ.get("EVAL_VERBOSE", "0") == "1"
     import jax
     import jax.numpy as jnp
 
@@ -90,10 +92,12 @@ def run_once(scenario: str, seed: int, n_frames: int):
     # the map mid-run, reloads it into a FRESH system and relocalizes
     # against it (System::LoadMap + MAP_REUSE); the other rows run the
     # 1/3-circle plumbing scenario.  `base` is the sensor pipeline.
-    is_loop = scenario.endswith("_loop")
+    is_lem = scenario.endswith("_lem")
+    is_loop = scenario.endswith("_loop") or is_lem
     is_blackout = scenario.endswith("_blackout")
     base = {"stereo_loop": "stereo", "mono_loop": "mono",
             "vio_loop": "stereo_vio",
+            "stereo_lem": "stereo", "vio_lem": "stereo_vio",
             "stereo_blackout": "stereo", "vio_blackout": "stereo_vio",
             "map_reuse": "stereo",
             "multicam4_kb8": "multicam_kb8"}.get(scenario, scenario)
@@ -111,7 +115,24 @@ def run_once(scenario: str, seed: int, n_frames: int):
     ctr0 = {key: metrics.counters.get(key, 0) for key in _ctr_keys}
     n_rig_cams = 4 if scenario == "multicam4_kb8" else 2
     ts = np.arange(n_frames) * 0.1
-    if is_loop:
+    if is_lem:
+        # Lemniscate (figure-eight), tangent heading: yaw RATE swings
+        # between -4.8 and +4.8 deg/frame with yaw-ACCELERATION spikes
+        # at the lobe ends — the reference's hard-sequence motion class
+        # (V103/MH05, README.md:48-58).  The constant-velocity model is
+        # wrong by the acceleration term here, so the row exercises the
+        # adaptive search radius, the IMU-propagated prediction
+        # (PredictNavStateByIMU parity), and — for the stereo row —
+        # LOST->Relocalization recovery.  Each lap revisits every pose:
+        # loop closures fire once per lap.
+        from vieo_slam_tpu.sim.world import figure_eight_trajectory
+        world = SyntheticWorld(WorldConfig(
+            n_landmarks=4000, seed=4, extent=(10.0, 7.0, 3.0),
+            dynamic_frac=DYNAMIC_FRAC))
+        omega = 2 * np.pi / (LOOP_FRAMES_PER_LAP * 0.1)
+        Rwc, twc, v_w, a_w = figure_eight_trajectory(
+            ts, a=3.0, b=1.0, omega=omega)
+    elif is_loop:
         # Room sized so walls sit 2.5-4.3 m from the circling camera:
         # far enough to accumulate drift, close enough for monocular
         # parallax (at a 12 m room mono triangulation starves and loses
@@ -183,6 +204,10 @@ def run_once(scenario: str, seed: int, n_frames: int):
         kfs = m.keyframe_ids()
         if t_min > 0:
             kfs = kfs[m.kf_timestamp[kfs] > t_min]
+        if len(kfs) < 2:
+            # no keyframes in the window (e.g. recovery never happened):
+            # NaN rather than crash — the n_relocs gate flags the failure
+            return {"rmse": float("nan"), "max": float("nan")}
         p = np.stack([-(m.kf_Rcw[k].T @ m.kf_tcw[k]) for k in kfs])
         # mono: similarity (scale-free) alignment, like the reference's
         # mono evaluation
@@ -321,6 +346,9 @@ def run_once(scenario: str, seed: int, n_frames: int):
             veo.track_frame(frame)
         else:
             sys_.track_frame(frame)
+        if verbose:
+            print(f"  [{i:3d}] {sys_.tracker.state.name:7s} "
+                  f"kf={sys_.map.n_keyframes():3d}", flush=True)
 
     sys_.wait_idle()
     pre = kf_ate()
@@ -338,6 +366,12 @@ def run_once(scenario: str, seed: int, n_frames: int):
         # SearchAndFuse breadth: cross-lap fuses (merges + added
         # observations) across all closures this run
         out["fused_points"] = float(sys_.loop_closer.total_fuse_count)
+    if is_lem:
+        out["n_lost"] = float(
+            metrics.counters.get("state_LOST", 0) - ctr0["state_LOST"])
+        out["n_relocs"] = float(
+            metrics.counters.get("reloc_success", 0)
+            - ctr0["reloc_success"])
     if is_blackout or scenario == "map_reuse":
         # recovery bookkeeping: LOST frames, odometry-bridged frames,
         # successful relocalizations, and the ATE of the post-recovery
@@ -357,6 +391,7 @@ def run_once(scenario: str, seed: int, n_frames: int):
 ALL = ("stereo,stereo_async,rgbd,mono,stereo_vio,vieo,veo,"
        "multicam_kb8,multicam4_kb8")
 LOOP_SCENARIOS = "stereo_loop,mono_loop,vio_loop"
+LEM_SCENARIOS = "stereo_lem,vio_lem"
 RECOVERY_SCENARIOS = "stereo_blackout,vio_blackout,map_reuse"
 
 
@@ -371,7 +406,7 @@ def main():
                     help="frames for *_loop scenarios (2 laps at 180/lap)")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--scenarios", default=",".join(
-        (ALL, LOOP_SCENARIOS, RECOVERY_SCENARIOS)))
+        (ALL, LOOP_SCENARIOS, LEM_SCENARIOS, RECOVERY_SCENARIOS)))
     ap.add_argument("--out", default=None,
                     help="write the aggregate table as JSON")
     args = ap.parse_args()
@@ -382,7 +417,8 @@ def main():
 
     table = {}
     for sc in args.scenarios.split(","):
-        nf = args.loop_frames if sc.endswith("_loop") else args.frames
+        nf = args.loop_frames \
+            if sc.endswith(("_loop", "_lem")) else args.frames
         rows = []
         for run in range(args.n):
             r = run_once(sc, seed=args.seed0 + run * 7, n_frames=nf)

@@ -56,9 +56,10 @@ CONFIGS = [("1200/8lv", orb.OrbConfig(n_features=1200, n_levels=8)),
                                        scale_factor=2.0))]
 
 ref_desc = {}
-for bs in (False, True):
+for sel in ("per", "batched", "concat"):
     for gk in (False, True):
-        orb._use_batched_select = (lambda f=bs: f)
+        orb._use_batched_select = (lambda f=(sel == "batched"): f)
+        orb._use_concat_select = (lambda f=(sel == "concat"): f)
         orb._use_gather_kernel = (lambda *_, f=gk: f)
         for name, cfg in CONFIGS:
             @jax.jit
@@ -74,6 +75,6 @@ for bs in (False, True):
             key = (np.asarray(f.uv)[v].tobytes(),
                    np.asarray(f.desc)[v].tobytes())
             tag = "same" if ref_desc.setdefault(name, key) == key else "DIFF"
-            print(f"extract {name} batched_sel={int(bs)} "
+            print(f"extract {name} sel={sel} "
                   f"gather_kernel={int(gk)}: {t:.3f} ms [{tag}]",
                   flush=True)

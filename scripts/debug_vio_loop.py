@@ -52,6 +52,9 @@ from evaluate_ntimes import (  # noqa: E402
 N_FRAMES = int(os.environ.get("DBG_FRAMES", "360"))
 SEED = int(os.environ.get("DBG_SEED", "11"))
 VIO_OFF = os.environ.get("VIO_OFF", "0") == "1"
+# shrink the VI-init final-acceptance span so the init-GBA fires early
+# (cheap A/B iterations on the init-GBA transient)
+FINAL_SPAN = float(os.environ.get("DBG_FINAL_SPAN", "15.0"))
 
 BG_TRUE = np.array([0.01, -0.02, 0.015], np.float32)
 BA_TRUE = np.array([0.05, 0.03, -0.04], np.float32)
@@ -87,7 +90,8 @@ def main():
             bg=BG_TRUE, ba=BA_TRUE, noise_g=1e-4, noise_a=1e-3,
             seed=SEED + 100)
         vio = VioFrontend(sys_, cfg=VioConfig(init_min_kfs=10,
-                                              init_min_span=3.0))
+                                              init_min_span=3.0,
+                                              init_final_span=FINAL_SPAN))
         imu = (t_imu, gyro, acc)
 
         orig_final = vio._finalize_init if hasattr(vio, "_finalize_init") \

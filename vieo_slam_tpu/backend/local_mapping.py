@@ -242,7 +242,17 @@ class LocalMapper:
 
     def cull_landmarks(self, k: int):
         """MapPointCulling (LocalMapping.cc:351): drop recently created
-        landmarks that failed to earn observations."""
+        landmarks that failed to earn observations.
+
+        Both culls apply ONLY to the probation set (the reference
+        iterates mlpRecentAddedMapPoints; a point that survives its
+        first cull_obs_window keyframes graduates and is never
+        ratio-culled again).  Round 4 applied the found-ratio cull
+        globally — under fast rotational sweep the per-frame match rate
+        sits near the 0.25 threshold, and the global cull erased
+        ESTABLISHED landmarks as fast as new ones were created
+        (measured on the lemniscate: 4196 created, live count falling
+        1061 -> 802 while coverage collapsed; scripts/debug_lemniscate)."""
         m = self.map
         keep = []
         drop = []
@@ -251,6 +261,13 @@ class LocalMapper:
             ids = ids[m.lm_valid[ids]]
             if ids.size == 0:
                 continue
+            # found-ratio cull, probation only (GetFoundRatio < 0.25)
+            vis = m.lm_visible[ids]
+            ratio = m.lm_found[ids] / np.maximum(vis, 1)
+            bad_r = (vis >= 8) & (ratio < self.cfg.cull_min_found_ratio)
+            if bad_r.any():
+                drop.append(ids[bad_r])
+                ids = ids[~bad_r]
             if age >= self.cfg.cull_obs_window:
                 bad = ids[m.lm_n_obs[ids] < 3]
                 drop.append(bad)
@@ -262,13 +279,6 @@ class LocalMapper:
             bad = np.concatenate(drop)
             if bad.size:
                 m.erase_landmarks(bad)
-        # Found-ratio cull (MapPoint::GetFoundRatio < 0.25): landmarks the
-        # tracker keeps projecting but failing to match are bad geometry.
-        seen = m.lm_valid & (m.lm_visible >= 8)
-        ratio = m.lm_found / np.maximum(m.lm_visible, 1)
-        bad_ratio = np.nonzero(seen & (ratio < self.cfg.cull_min_found_ratio))[0]
-        if bad_ratio.size:
-            m.erase_landmarks(bad_ratio)
 
     # ------------------------------------------------------------------
 

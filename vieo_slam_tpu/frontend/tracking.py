@@ -51,6 +51,16 @@ class TrackerConfig:
     kf_min_interval: int = 1         # frames between KFs (min)
     kf_max_interval: int = 4         # force KF after this many frames
     lost_retry_radius: float = 80.0  # wide re-search before giving up
+    # Adaptive stage-1 radius under rotational acceleration: the
+    # constant-velocity model's error per frame is the CHANGE in
+    # inter-frame rotation; fx * that angle is its pixel displacement
+    # at the image centre.  The coarse window widens by this much
+    # (capped) so yaw-acceleration spikes (the reference's V103/MH05
+    # regime) stay inside the association window — the reference gets
+    # the same effect from PredictNavStateByIMU + its th=15 vs th=7
+    # window split (Tracking.cc:385, ORBmatcher th arguments).
+    adaptive_radius_gain: float = 1.5
+    adaptive_radius_max: float = 60.0
     odomok_max_frames: int = 50      # dead-reckoning bridge length cap
     use_predicted_scale: bool = False  # PredictScale-driven search radii
     th_depth: float = 4.0            # mThDepth: init/creation depth gate
@@ -156,6 +166,7 @@ class Tracker:
         self.Rcw = np.eye(3, dtype=np.float32)
         self.tcw = np.zeros(3, np.float32)
         self.velocity = None         # (dR, dt): Tcw_k ∘ Tcw_{k-1}^-1
+        self._prev_vel_rot = None    # previous frame's dR (rot-accel est)
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.frame_id = 0
@@ -424,11 +435,24 @@ class Tracker:
         with self.map.lock:
             self._apply_pending_correction()
             pw, desc, level, valid, lm_ids = self._local_landmark_slab()
+        used_external = self.external_prediction is not None
         R0, t0 = self._predict_pose()
-        # Tight window always (wide windows re-admit the mismatches that
-        # pin the pose valley); unpredicted fast motion is caught by the
-        # wide-radius retry below.
+        # Tight window by default (wide windows re-admit the mismatches
+        # that pin the pose valley); under rotational ACCELERATION the
+        # constant-velocity prediction is off by fx*dω px, so the coarse
+        # window widens with the measured rotation-rate change.  An
+        # external (IMU/encoder) prediction tracks rotation directly —
+        # its error does not grow with ω̇, so it keeps the tight window.
         coarse_r = self.cfg.match_radius_coarse
+        if (not used_external and self.velocity is not None
+                and self._prev_vel_rot is not None):
+            dacc = self.velocity[0] @ self._prev_vel_rot.T
+            cosang = np.clip((np.trace(dacc) - 1.0) / 2.0, -1.0, 1.0)
+            ang = float(np.arccos(cosang))
+            fx = float(getattr(self.cam, "fx", 400.0))
+            coarse_r = min(
+                coarse_r + self.cfg.adaptive_radius_gain * fx * ang,
+                self.cfg.adaptive_radius_max)
         res = _track_kernel(
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
@@ -445,23 +469,31 @@ class Tracker:
         )
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.min_inliers_ok:
-            # Wide-radius retry from the last known-good pose (recently-lost
-            # recovery, Tracking.h time_recently_lost semantics).
-            res = _track_kernel(
-                jnp.asarray(self.Rcw), jnp.asarray(self.tcw),
-                jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
-                jnp.asarray(valid),
-                frame,
-                jnp.asarray(self.map.inv_sigma2),
-                jnp.asarray(self.map.level_scales.astype(np.float32)),
-                jnp.asarray(self.cfg.lost_retry_radius, jnp.float32),
-                jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
-                jnp.asarray(self.bf, jnp.float32),
-                self.cam,
-                schedule=self.cfg.schedule,
-                opt_mode=self.cfg.opt_mode,
-            )
-            n_inl = int(res.n_inliers)
+            # Wide-radius retries (recently-lost recovery, Tracking.h
+            # time_recently_lost semantics): first from the PREDICTED
+            # pose — under sustained rotation the last pose is a full
+            # frame's rotation (fx*ω px) behind, while the prediction is
+            # off only by the acceleration term — then from the last
+            # known-good pose (covers a bad velocity/prediction spike).
+            starts = [(R0, t0), (self.Rcw, self.tcw)]
+            for Rr, tr_ in starts:
+                res = _track_kernel(
+                    jnp.asarray(Rr), jnp.asarray(tr_),
+                    jnp.asarray(pw), jnp.asarray(desc), jnp.asarray(level),
+                    jnp.asarray(valid),
+                    frame,
+                    jnp.asarray(self.map.inv_sigma2),
+                    jnp.asarray(self.map.level_scales.astype(np.float32)),
+                    jnp.asarray(self.cfg.lost_retry_radius, jnp.float32),
+                    jnp.asarray(self.cfg.match_radius_fine, jnp.float32),
+                    jnp.asarray(self.bf, jnp.float32),
+                    self.cam,
+                    schedule=self.cfg.schedule,
+                    opt_mode=self.cfg.opt_mode,
+                )
+                n_inl = int(res.n_inliers)
+                if n_inl >= self.cfg.min_inliers_ok:
+                    break
         if n_inl < self.cfg.min_inliers_ok:
             # ODOMOK bridge (Tracking::TrackWithOnlyOdom, src/Tracking.cc
             # :79): a healthy odometry prediction carries the pose through
@@ -478,6 +510,7 @@ class Tracker:
                 return
             self.state = TrackState.LOST
             self.velocity = None
+            self._prev_vel_rot = None
             self._last_pred_external = None
             return
         self.odomok_frames = 0
@@ -490,6 +523,8 @@ class Tracker:
         # velocity: Tcw_k ∘ Twc_{k-1}
         dR = self.Rcw @ R_prev.T
         dt = self.tcw - dR @ t_prev
+        self._prev_vel_rot = self.velocity[0] \
+            if self.velocity is not None else None
         self.velocity = (dR.astype(np.float32), dt.astype(np.float32))
         self.state = TrackState.OK
         self.last_result = res

@@ -212,14 +212,15 @@ def fast_score_maps(img: jax.Array, thresholds) -> list[jax.Array]:
 # grows as the feature budget shrinks, so the crossover is per-config).
 
 
-def _env_mode(name: str) -> str:
+def _env_mode(name: str, extra: tuple = ()) -> str:
     """Validated auto/on/off env switch: these gate TPU numerics and
     performance, so a typo ('ON', 'true') must fail loudly instead of
     silently disabling the kernel."""
     v = os.environ.get(name, "auto").strip().lower()
-    if v not in ("auto", "on", "off"):
+    if v not in ("auto", "on", "off") + extra:
         raise ValueError(
-            f"{name}={os.environ.get(name)!r}: expected auto|on|off")
+            f"{name}={os.environ.get(name)!r}: expected "
+            f"auto|on|off{''.join('|' + e for e in extra)}")
     return v
 
 
@@ -351,6 +352,54 @@ def select_keypoints_batched(scores: list, n_keeps: list, cfg: OrbConfig):
         # so invalid rows match the unbatched shortfall path exactly.
         uv = jnp.where(valid[:, None], uv, 0)
         out.append((uv, s, valid))
+    return out
+
+
+def select_keypoints_concat(scores: list, n_keeps: list, cfg: OrbConfig):
+    """Cross-level selection with the per-cell top-k CONCATENATED.
+
+    The r4 batched variant padded every level's cell table to the
+    level-0 cell count before one big sort — measured 2.5x overwork on
+    v5e (the recorded negative result above).  This version concatenates
+    the REAL cells of all levels into one [G_tot, c*c] table (G_tot ~
+    1.33 G_0 for a 1.2-scale pyramid vs L*G_0 padded), runs the
+    dominant per-cell top-k as ONE sort with zero pad rows, then does
+    the small per-level global top-N on slices.  Per-level results are
+    bit-identical to select_keypoints (same candidates, same stable
+    top_k order).
+
+    Returns [(uv, score, valid), ...] per level, shapes [n_keep_l, ...].
+    """
+    c = cfg.cell_size
+    k = min(cfg.cell_topk, c * c)
+    rows, metas, offs = [], [], [0]
+    for score in scores:
+        h, w = score.shape
+        gy, gx = -(-h // c), -(-w // c)
+        padded = jnp.pad(score, ((0, gy * c - h), (0, gx * c - w)))
+        cells = padded.reshape(gy, c, gx, c).transpose(0, 2, 1, 3).reshape(
+            gy * gx, c * c)
+        rows.append(cells)
+        metas.append((h, w, gx, gy * gx))
+        offs.append(offs[-1] + gy * gx)
+    big = jnp.concatenate(rows)                          # [G_tot, c*c]
+    cell_scores, cell_idx = jax.lax.top_k(big, k)        # ONE sort
+    out = []
+    for lv, (h, w, gx, g_l) in enumerate(metas):
+        s_flat = cell_scores[offs[lv]:offs[lv + 1]].reshape(-1)  # [G_l*k]
+        i_flat = cell_idx[offs[lv]:offs[lv + 1]].reshape(-1)
+        n_l = min(n_keeps[lv], g_l * k)
+        top_scores, top_i = jax.lax.top_k(s_flat, n_l)
+        g = top_i // k
+        ic = i_flat[top_i]
+        uv = jnp.stack([(g % gx) * c + ic % c,
+                        (g // gx) * c + ic // c], axis=-1).astype(jnp.int32)
+        b = cfg.border
+        valid = ((top_scores > 0)
+                 & (uv[:, 0] >= b) & (uv[:, 0] < w - b)
+                 & (uv[:, 1] >= b) & (uv[:, 1] < h - b))
+        uv = jnp.where(valid[:, None], uv, 0)
+        out.append((uv, top_scores, valid))
     return out
 
 
@@ -568,12 +617,18 @@ def _use_gather_kernel(n_total: int | None = None) -> bool:
 # level to the level-0 cell count does ~2.5x the sort work, and the
 # per-level top-k sorts turn out NOT to be latency-bound at these
 # sizes. Kept behind an off-by-default switch as the recorded negative
-# result; "auto" = off everywhere.
-BATCHED_SELECT_MODE = _env_mode("ORB_BATCHED_SELECT")
+# result; "auto" = off everywhere.  "concat" selects the r5
+# select_keypoints_concat variant: one zero-padding per-cell sort over
+# the concatenated real cells of all levels (see its docstring).
+BATCHED_SELECT_MODE = _env_mode("ORB_BATCHED_SELECT", ("concat",))
 
 
 def _use_batched_select() -> bool:
     return BATCHED_SELECT_MODE == "on"
+
+
+def _use_concat_select() -> bool:
+    return BATCHED_SELECT_MODE == "concat"
 
 
 def _blur7_patch(patches: jax.Array, sigma: float = 2.0) -> jax.Array:
@@ -674,6 +729,9 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
     if _use_batched_select():
         sels = select_keypoints_batched(
             scores, [int(per_level[lv]) for lv, _ in levels], cfg)
+    elif _use_concat_select():
+        sels = select_keypoints_concat(
+            scores, [int(per_level[lv]) for lv, _ in levels], cfg)
     else:
         sels = [select_keypoints(s, int(per_level[lv]), cfg)
                 for s, (lv, _) in zip(scores, levels)]
@@ -766,6 +824,9 @@ def extract_orb_batch(imgs: jax.Array, cfg: OrbConfig) -> OrbFeatures:
                              None if fused_tail else blur_all[b]))
     if _use_batched_select():
         sels = select_keypoints_batched(
+            sel_scores, [int(per_level[lv]) for lv, *_ in sel_meta], cfg)
+    elif _use_concat_select():
+        sels = select_keypoints_concat(
             sel_scores, [int(per_level[lv]) for lv, *_ in sel_meta], cfg)
     else:
         sels = [select_keypoints(s, int(per_level[lv]), cfg)

@@ -129,3 +129,78 @@ def pnp_ransac(
     n_out = jnp.maximum(n2, counts[best])
     return PnPResult(Rcw=R_out, tcw=t_out, inliers=inl_out,
                      n_inliers=n_out, ok=n_out >= min_inliers)
+
+
+def pnp_ransac_3d3d(
+    p_cam: jax.Array,
+    rays: jax.Array,
+    pw: jax.Array,
+    valid3d: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    *,
+    n_hyp: int = 1024,
+    thresh: float = 0.0125,
+    min_inliers: int = 12,
+) -> PnPResult:
+    """RANSAC pose from 3-point Horn hypotheses, REPROJECTION-scored.
+
+    Depth-sensor relocalization (stereo/RGB-D): the frame's own stereo
+    depth gives camera-frame 3D per keypoint, so a minimal sample is 3
+    points (Horn closed form) instead of the 6 a DLT needs — at the
+    ~35% match purity a kidnapped-frame BoW match yields, the clean-
+    sample probability rises from 0.35^6 ~ 0.2% to 0.35^3 ~ 4.3%.
+    Hypotheses are SCORED by unit-plane reprojection of the landmark
+    set (thresh ~ px/fx), NOT 3D point distance: single-view stereo
+    depth carries sigma_z ~ z^2 sigma_d/bf noise that a metric 3D gate
+    mis-rejects (the round-4 Horn reloc path failed exactly there),
+    while reprojection only sees the 3 sampled points' noise through
+    the pose.  A weighted all-inlier DLT refit polishes the winner.
+
+    p_cam:   [N, 3] camera-frame keypoint 3D (ray * stereo depth)
+    rays:    [N, 3] camera-frame bearing rays (for scoring)
+    pw:      [N, 3] matched landmark world positions
+    valid3d: [N] rows usable for hypothesis sampling (have depth)
+    valid:   [N] rows usable for scoring (all matches)
+    """
+    dtype = rays.dtype
+    xy = rays[:, :2] / jnp.where(jnp.abs(rays[:, 2:]) < 1e-9, 1e-9,
+                                 rays[:, 2:])
+    logits = jnp.where(valid3d, 0.0, -1e9).astype(dtype)
+    idx = jax.random.categorical(key, logits, shape=(n_hyp, 3))
+    src = pw[idx]                                      # [H, 3, 3] world
+    dst = p_cam[idx]                                   # [H, 3, 3] camera
+
+    # batched 3-point Horn: R, t with dst ~ R @ src + t
+    cs = jnp.mean(src, axis=1, keepdims=True)
+    cd = jnp.mean(dst, axis=1, keepdims=True)
+    H = jnp.einsum("hni,hnj->hij", dst - cd, src - cs)
+    U, _, Vt = jnp.linalg.svd(H)
+    detUV = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(detUV), jnp.ones_like(detUV), detUV],
+                  axis=-1)
+    R = U @ (D[..., None] * Vt)                        # [H, 3, 3]
+    t = cd[:, 0] - jnp.einsum("hij,hj->hi", R, cs[:, 0])
+
+    err = _reproj_errors(R, t, pw[None], xy[None])     # [H, N]
+    inl = (err < thresh) & valid[None]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+
+    # weighted all-inlier DLT refit
+    w = inl[best].astype(dtype)
+    A_all = _dlt_rows(xy, pw, w=w)
+    _, _, Vt2 = jnp.linalg.svd(A_all[None])
+    P2 = Vt2[0, -1, :].reshape(3, 4)
+    R2, t2 = _pose_from_p(P2)
+    err2 = _reproj_errors(R2, t2, pw, xy)
+    inl2 = (err2 < thresh) & valid
+    n2 = jnp.sum(inl2)
+
+    use_refit = n2 >= counts[best]
+    R_out = jnp.where(use_refit, R2, R[best])
+    t_out = jnp.where(use_refit, t2, t[best])
+    inl_out = jnp.where(use_refit, inl2, inl[best])
+    n_out = jnp.maximum(n2, counts[best])
+    return PnPResult(Rcw=R_out, tcw=t_out, inliers=inl_out,
+                     n_inliers=n_out, ok=n_out >= min_inliers)

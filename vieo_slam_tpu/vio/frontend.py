@@ -92,6 +92,17 @@ class VioConfig:
     use_backend: bool = True
     backend_window: int = 10
     run_init_gba: bool = True
+    # Initial-bias prior inside the init-GBA (the reference's
+    # EdgeNavStateBias on the first bias vertex, Optimizer.cc:1028-1061).
+    # Default OFF: A/B-measured on the multi-lap circle (r5,
+    # scripts/debug_vio_loop.py DBG_NO_INITPRIOR): pinning bias_0 to the
+    # linear-init estimate (ba error ~0.036 m/s^2 at 6-15 s spans)
+    # freezes the whole RW-chained bias sequence on the wrong value and
+    # the init-GBA warps poses to compensate — KF ATE 0.0040 -> 0.0750
+    # with the prior vs 0.0040 -> 0.0023 without (gravity-direction
+    # refinement kept on in both).  The r4 "vio_loop drifts 5.6x worse
+    # than stereo" was this transient caught by the preLC snapshot.
+    init_gba_bias_prior: bool = False
     # Sensor-timing robustness (the reference's delay-poll,
     # Camera.delayForPolling, src/Tracking.cc:966-981): wait up to this
     # many wall-clock seconds for odometry covering the frame timestamp
@@ -694,8 +705,9 @@ class VioFrontend:
         # Vision-only local BA stops here; the PRV window BA replaces it.
         self.sys.mapper.skip_local_ba = True
         if cfg.run_init_gba:
-            if self.backend.run_global_ba(opt_scale=cfg.solve_scale,
-                                          opt_gdir=True, init_prior=True):
+            if self.backend.run_global_ba(
+                    opt_scale=cfg.solve_scale, opt_gdir=True,
+                    init_prior=cfg.init_gba_bias_prior):
                 self.gw = self.backend.gravity.copy()
                 kfs = self.sys.map.keyframe_ids()
                 if len(kfs):
