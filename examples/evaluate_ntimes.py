@@ -277,7 +277,8 @@ def run_once(scenario: str, seed: int, n_frames: int):
     elif base == "multicam_kb8":
         build = jax.jit(lambda ims, t: build_multicam_frame(
             list(ims), rig_cams, ocfg, geom_cam=geom,
-            virt_bf=bf, max_depth=15.0, timestamp=t))
+            virt_bf=bf, max_depth=15.0, timestamp=t, return_stats=True))
+    pv_acc = []   # per-frame per-view triangulation stats (multicam)
 
     imu_i = enc_i = 0
     for i in range(n_frames):
@@ -339,7 +340,9 @@ def run_once(scenario: str, seed: int, n_frames: int):
                 ti_ = ci.Rcr @ tcw[i] + ci.tcr
                 imgs.append(jnp.asarray(
                     world.render_view(ci, Ri, ti_, **hard)))
-            frame = build(tuple(imgs), jnp.asarray(t, jnp.float64))
+            frame, pv = build(tuple(imgs), jnp.asarray(t, jnp.float64))
+            pv_acc.append([(float(s["matches"]), float(s["accepted"]),
+                            float(s["mean_err2"])) for s in pv])
         if vio is not None:
             vio.track_frame(frame)
         elif veo is not None:
@@ -357,6 +360,17 @@ def run_once(scenario: str, seed: int, n_frames: int):
     sys_.shutdown()
     out = {"rmse_noFullBA": pre["rmse"], "max_noFullBA": pre["max"],
            "rmse_fullBA": post["rmse"], "max_fullBA": post["max"]}
+    if pv_acc:
+        # per-view (partner camera) triangulation health: a regression
+        # in ONE camera of the rig surfaces as that view's accepted
+        # count collapsing / its reprojection error growing, instead of
+        # hiding inside the rig-aggregate ATE (per-view chi2 columns).
+        arr = np.asarray(pv_acc)              # [frames, views, 3]
+        for v in range(arr.shape[1]):
+            out[f"view{v + 1}_tri_per_frame"] = float(arr[:, v, 1].mean())
+            out[f"view{v + 1}_mean_err2"] = float(
+                np.nanmean(np.where(arr[:, v, 1] > 0, arr[:, v, 2],
+                                    np.nan)))
     if is_loop:
         out["loops_closed"] = float(len(lc_events))
         # first closure: the drifted map the detector fired on vs the

@@ -19,6 +19,12 @@ from vieo_slam_tpu.ops import orb
 
 print("devices:", jax.devices(), flush=True)
 
+# Flip the relay into real mode BEFORE any timing: clean-mode timings
+# are fiction until the process reads device data once (r2 axon lore;
+# the first grid row of the 2026-08-20 run measured 0.009 ms).
+np.asarray(jax.block_until_ready(jax.jit(lambda x: x + 1.0)(
+    jnp.ones(8, jnp.float32))))
+
 rng = np.random.RandomState(0)
 H0, W0 = 480, 752
 base = (rng.rand(H0, W0).astype(np.float32) * 200 + 20)

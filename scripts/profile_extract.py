@@ -67,7 +67,10 @@ def chain_time(fn, img, rtt, reps=3):
 def main():
     force_real_mode()
     rtt = measure_rtt()
-    cfg = orb.OrbConfig(n_features=FEATS, n_levels=8)
+    # 375-feat rows use the reference's own fast config (4 lv @ 2.0,
+    # EuRoC_VIO_dist_fast.yaml), matching bench.py's feat375 row
+    cfg = orb.OrbConfig(n_features=FEATS, n_levels=8) if FEATS >= 800 \
+        else orb.OrbConfig(n_features=FEATS, n_levels=4, scale_factor=2.0)
     rng = np.random.RandomState(0)
     base = rng.rand(H, W).astype(np.float32) * 200 + 20
     ys = rng.randint(20, H - 20, 400)

@@ -49,3 +49,42 @@ def test_pnp_jittable_and_failure_flag():
     res2 = f(jnp.asarray(junk, jnp.float32), jnp.asarray(pw, jnp.float32),
              jnp.ones(len(pw), bool), jax.random.PRNGKey(0))
     assert int(res2.n_inliers) < 12 or not bool(res2.ok)
+
+
+def test_pnp_3d3d_low_purity_noisy_depth():
+    """The relocalization regime pnp_ransac_3d3d exists for: ~35% match
+    purity and frame-side stereo depth with sigma_z ~ z^2 sigma_d / bf
+    noise.  The 6-point DLT RANSAC fails here (clean-sample p ~ 0.2%,
+    measured failing on every blackout-recovery frame, r5); the 3-point
+    Horn + reprojection-scored path must recover the pose."""
+    from vieo_slam_tpu.solvers.pnp_solver import pnp_ransac_3d3d
+
+    rng = np.random.RandomState(5)
+    N = 60
+    R, _ = np.linalg.qr(rng.randn(3, 3))
+    R = R * np.sign(np.linalg.det(R))
+    t = np.array([0.3, -0.2, 0.5])
+    # camera-frame cloud in front of the camera, world = R^T (pc - t)
+    pc = rng.randn(N, 3) * [1.5, 1.0, 0.0] + [0, 0, 0]
+    pc[:, 2] = 2.0 + rng.rand(N) * 6.0
+    pw = (pc - t) @ R
+    rays = pc / pc[:, 2:]
+    # frame-side stereo depth: z^2-proportional noise (bf = 80)
+    z = pc[:, 2]
+    z_meas = z + rng.randn(N) * (z ** 2 * 0.5 / 80.0)
+    p_cam = rays * z_meas[:, None]
+    # corrupt 65% of the WORLD matches (wrong landmark associated)
+    n_bad = int(0.65 * N)
+    pw_noisy = pw.copy()
+    pw_noisy[:n_bad] = pw[rng.permutation(N)[:n_bad]] + rng.randn(n_bad, 3)
+    res = pnp_ransac_3d3d(
+        jnp.asarray(p_cam, jnp.float32), jnp.asarray(rays, jnp.float32),
+        jnp.asarray(pw_noisy, jnp.float32),
+        jnp.ones(N, bool), jnp.ones(N, bool),
+        jax.random.PRNGKey(2), n_hyp=1024, thresh=5.0 / 400.0,
+        min_inliers=10)
+    assert bool(res.ok)
+    assert np.abs(np.asarray(res.Rcw) - R).max() < 2e-2
+    assert np.abs(np.asarray(res.tcw) - t).max() < 0.15
+    # the corrupted rows must be mostly rejected
+    assert np.asarray(res.inliers)[:n_bad].mean() < 0.2

@@ -619,7 +619,15 @@ def _use_gather_kernel(n_total: int | None = None) -> bool:
 # sizes. Kept behind an off-by-default switch as the recorded negative
 # result; "auto" = off everywhere.  "concat" selects the r5
 # select_keypoints_concat variant: one zero-padding per-cell sort over
-# the concatenated real cells of all levels (see its docstring).
+# the concatenated real cells of all levels (see its docstring) —
+# ALSO a measured regression on v5e (scripts/ab_extract_modes.py r5,
+# real-mode-flip fixed): 1200-feat extract 1.745 ms vs 1.639 per-level,
+# 375-feat 0.766 vs 0.559 (one-hot gather both).  Third negative
+# result on selection batching: even with zero pad overwork the single
+# concatenated [G_tot, c*c] sort loses to L small per-level sorts —
+# per-level top_k at these shapes is bandwidth-efficient and XLA
+# overlaps the small sorts, while the concat forces one big
+# synchronization point.  Selection is NOT program-count-bound.
 BATCHED_SELECT_MODE = _env_mode("ORB_BATCHED_SELECT", ("concat",))
 
 

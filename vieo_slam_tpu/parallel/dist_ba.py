@@ -36,16 +36,25 @@ from ..solvers.local_ba import BAProblem, _obs_terms, inv3x3
 
 
 # Schur-fill strategy: the one-hot pair fill's FLOPs scale with K^2, so
-# past a pose-count threshold the segment_sum scatter wins even where
-# scatter serializes (512-KF global BA: the scatter is O(M*O^2) writes,
-# the one-hot fill O(M*O*K^2/chunk) MXU flops). "auto" switches at
-# PAIRFILL_K_MAX; "onehot"/"scatter" force a path (tests/A-B scripts).
+# past SOME pose count the segment_sum scatter should win.  Where that
+# point is depends on the backend: on TPU the scatter serializes its
+# per-row updates while the K^2 one-hot FLOPs ride the MXU — measured
+# on the real v5e at M=100k/O=8 (scripts/gba_scale_bench.py, r5):
+#   K=64: onehot 6.12 iters/s vs scatter 1.52;  K=128: 6.08 vs 1.56;
+#   K=256: 4.85 vs 1.19;  K=512: 2.64 vs 0.88.
+# The one-hot fill wins by 3-4x at EVERY K up to the 512-KF pose-graph
+# cap — the prior PAIRFILL_K_MAX=96 came from a CPU A/B and routed the
+# whole GBA regime onto the serialized scatter.  On CPU the scatter
+# wins past ~96 poses (the r4 measurement).  "auto" now picks by
+# backend; "onehot"/"scatter" force a path (tests/A-B scripts).
 PAIRFILL_MODE = "auto"
-PAIRFILL_K_MAX = 96
+PAIRFILL_K_MAX = 96            # CPU crossover (TPU: onehot through 512)
 
 
 def _use_onehot(K: int) -> bool:
     if PAIRFILL_MODE == "auto":
+        if jax.default_backend() == "tpu":
+            return True
         return K <= PAIRFILL_K_MAX
     return PAIRFILL_MODE == "onehot"
 

@@ -117,12 +117,45 @@ def optimize_pose_graph(
         bi = -jnp.einsum("eri,e,er->ei", Ji, w, r)
         bj = -jnp.einsum("eri,e,er->ei", Jj, w, r)
 
-        H = jnp.zeros((K, K, 7, 7), dtype)
-        H = H.at[ei, ei].add(Hii)
-        H = H.at[ej, ej].add(Hjj)
-        H = H.at[ei, ej].add(Hij)
-        H = H.at[ej, ei].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((K, 7), dtype).at[ei].add(bi).at[ej].add(bj)
+        rows = jnp.concatenate([ei, ej, ei, ej])
+        cols = jnp.concatenate([ei, ej, ej, ei])
+        blocks = jnp.concatenate(
+            [Hii, Hjj, Hij, jnp.swapaxes(Hij, -1, -2)])
+        if jax.default_backend() == "tpu":
+            # One-hot MXU assembly: [E]-indexed scatter-adds into the
+            # [K,K,7,7] Hessian serialize on TPU (measured: the K=512
+            # closure solve took 24 s/solve with the scatter path —
+            # scripts/gba_scale_bench.py r5); chunked one-hot
+            # contractions put the same fill on the MXU (exact under
+            # the package's highest matmul precision; 0/1 weights).
+            CH = 256
+            n4 = rows.shape[0]
+            pad = -(-n4 // CH) * CH - n4
+            rows_p = jnp.pad(rows, (0, pad), constant_values=0)
+            cols_p = jnp.pad(cols, (0, pad), constant_values=0)
+            blocks_p = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+            kiota = jnp.arange(K, dtype=jnp.int32)
+
+            def fill_chunk(acc, args):
+                r_c, c_c, b_c = args
+                oh_r = (r_c[:, None] == kiota[None, :]).astype(dtype)
+                oh_c = (c_c[:, None] == kiota[None, :]).astype(dtype)
+                t_c = (oh_c[:, :, None]
+                       * b_c.reshape(CH, 1, 49)).reshape(CH, K * 49)
+                return acc + (oh_r.T @ t_c), None
+
+            H_flat, _ = jax.lax.scan(
+                fill_chunk, jnp.zeros((K, K * 49), dtype),
+                (rows_p.reshape(-1, CH), cols_p.reshape(-1, CH),
+                 blocks_p.reshape(-1, CH, 7, 7)))
+            H = H_flat.reshape(K, K, 7, 7)
+            oh_bi = (ei[:, None] == kiota[None, :]).astype(dtype)
+            oh_bj = (ej[:, None] == kiota[None, :]).astype(dtype)
+            b = oh_bi.T @ bi + oh_bj.T @ bj
+        else:
+            H = jnp.zeros((K, K, 7, 7), dtype)
+            H = H.at[rows, cols].add(blocks)
+            b = jnp.zeros((K, 7), dtype).at[ei].add(bi).at[ej].add(bj)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         fm = jnp.repeat(free, 7).astype(dtype)
@@ -133,7 +166,10 @@ def optimize_pose_graph(
         Hd = Hd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
         Hd = Hd + lam * jnp.eye(7 * K, dtype=dtype)
         bd = b.reshape(-1) * fm
-        dx = jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        # damped GN normal equations are SPD: Cholesky beats the
+        # pivoted LU jnp.linalg.solve lowers to on TPU
+        L = jax.scipy.linalg.cholesky(Hd, lower=True)
+        dx = jax.scipy.linalg.cho_solve((L, True), bd).reshape(K, 7)
         dx = dx * fm.reshape(K, 7)
 
         R_n, t_n, s_n = retract(R, t, s, dx)
