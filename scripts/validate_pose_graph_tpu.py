@@ -77,8 +77,26 @@ def main():
     assert dt < 1e-3 and dR < 1e-3, "one-hot vs scatter mismatch"
 
     ms, E = bench_pose_graph(512, rtt)
-    print(f"pose_graph K=512 E={E} (one-hot+cholesky): {ms:.1f} ms "
-          f"(scatter path was 23984 ms)", flush=True)
+    print(f"pose_graph K=512 E={E} (on-chip A^T A + CG): {ms:.1f} ms "
+          f"(scatter+LU path was 23984 ms)", flush=True)
+
+    # host-offload route (what LoopCloser._correct_loop_locked uses on
+    # a TPU backend): same problem, CPU devices of this process
+    import scripts.gba_scale_bench as gsb
+
+    orig_opg = pg.optimize_pose_graph
+
+    def cpu_opg(prob2, **kw):
+        kw["backend"] = "cpu"
+        with jax.default_device(cpu):
+            return orig_opg(jax.device_put(prob2, cpu), **kw)
+
+    gsb.optimize_pose_graph = cpu_opg
+    try:
+        ms2, _ = gsb.bench_pose_graph(512, 0.0, n_rep=3)
+    finally:
+        gsb.optimize_pose_graph = orig_opg
+    print(f"pose_graph K=512 host-offload: {ms2:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -541,8 +541,26 @@ class LoopCloser:
             edge_s=jnp.asarray(es, jnp.float32),
             edge_w=jnp.asarray(ew, jnp.float32),
         )
-        out = optimize_pose_graph(prob, iters=20,
-                                  fix_scale=cfg.fix_scale)
+        # Host offload on TPU: the pose graph is a rare, small,
+        # autodiff-heavy solve (tiny Sim3 chains per edge) that maps
+        # badly onto the chip — measured 24 s (scatter+LU), 11.8 s
+        # (one-hot A^T A + CG) per K=512 closure on v5e vs a couple of
+        # seconds on host LAPACK.  A 512-KF closure happens once per
+        # loop; holding map.lock for the chip solve would stall
+        # tracking (the r4 weak-#7 latency gap, now measured).
+        if jax.default_backend() == "tpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    out = optimize_pose_graph(
+                        jax.device_put(prob, cpu), iters=20,
+                        fix_scale=cfg.fix_scale, backend="cpu")
+            except RuntimeError:
+                out = optimize_pose_graph(prob, iters=20,
+                                          fix_scale=cfg.fix_scale)
+        else:
+            out = optimize_pose_graph(prob, iters=20,
+                                      fix_scale=cfg.fix_scale)
         R_new = np.asarray(out.R)
         t_new = np.asarray(out.t)
         s_new = np.asarray(out.s)

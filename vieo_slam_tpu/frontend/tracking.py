@@ -507,6 +507,29 @@ class Tracker:
                 self.velocity = None
                 self.odomok_frames += 1
                 self.state = TrackState.ODOMOK
+                # The reference's c3 keyframe condition (Tracking.cc:2145,
+                # :2181): ODOMOK frames with enough close stereo depth
+                # STILL insert keyframes at the dead-reckoned pose — this
+                # is how unmapped territory swept during a visual dropout
+                # (or a fast rotation through fresh structure) gets
+                # landmarks, so vision can re-acquire instead of staying
+                # blind until relocalization.  Local mapping creates the
+                # points from the KF's depth (CreateNewKeyFrame's close-
+                # point loop runs for ODOMOK too, Tracking.cc:2290).
+                depth = np.asarray(frame.depth)
+                kp_valid = np.asarray(frame.valid)
+                n_close = int((kp_valid & (depth > 0)
+                               & (depth < 2.0 * self.cfg.th_depth)).sum())
+                if self.frames_since_kf >= 2 and n_close > 70:
+                    with self.map.lock:
+                        lm_idx_full = np.full(kp_valid.shape[0], -1,
+                                              np.int32)
+                        k = self._insert_keyframe(frame, lm_idx_full)
+                        self.last_kf_id = k
+                        self.last_new_kf = k
+                        self.frames_since_kf = 0
+                else:
+                    self.frames_since_kf += 1
                 return
             self.state = TrackState.LOST
             self.velocity = None

@@ -69,11 +69,19 @@ def optimize_pose_graph(
     iters: int = 20,
     fix_scale: bool = False,
     lam: float = 1e-6,
+    backend: str | None = None,
 ) -> PoseGraphProblem:
     """Damped GN on the Sim3 graph; one jit-compilable program.
 
     fix_scale: stereo/RGB-D mode (scale dof pinned to 0 update).
+    backend: execution target the assembly/solve strategy is picked
+      for ("tpu" -> one-hot A^T A fill + block-Jacobi CG, "cpu" ->
+      scatter fill + LAPACK Cholesky); default = jax.default_backend().
+      The loop closer passes "cpu" with a host default_device to
+      OFF-LOAD this rare, small, autodiff-heavy solve from the chip
+      (see LoopCloser._correct_loop_locked).
     """
+    exec_backend = backend or jax.default_backend()
     K = prob.R.shape[0]
     E = prob.edge_i.shape[0]
     dtype = prob.t.dtype
@@ -91,73 +99,69 @@ def optimize_pose_graph(
     def step(carry, _):
         R, t, s = carry
 
-        def resid(dx_i, dx_j, e):
-            Ri, ti, si = retract(R[ei[e]], t[ei[e]], s[ei[e]], dx_i)
-            Rj, tj, sj = retract(R[ej[e]], t[ej[e]], s[ej[e]], dx_j)
-            return _edge_residual(
-                Ri, ti, si, Rj, tj, sj,
-                prob.edge_R[e], prob.edge_t[e], prob.edge_s[e])
+        # Endpoint values gathered ONCE as [E, ...] arrays, then a
+        # single 14-wide jacfwd over elementwise-batched math: the
+        # per-edge closure with R[ei[e]] indexing inside vmap(jacfwd)
+        # re-lowered the gathers per primitive and cost 847 ms of the
+        # 1.5 s/iteration at K=512 (scripts/dissect_pose_graph.py).
+        Rie, tie, sie = R[ei], t[ei], s[ei]
+        Rje, tje, sje = R[ej], t[ej], s[ej]
 
-        zero7 = jnp.zeros(7, dtype)
-        es = jnp.arange(E)
-        r = jax.vmap(lambda e: resid(zero7, zero7, e))(es)       # [E, 7]
-        Ji = jax.vmap(lambda e: jax.jacfwd(
-            lambda d: resid(d, zero7, e))(zero7))(es)            # [E, 7, 7]
-        Jj = jax.vmap(lambda e: jax.jacfwd(
-            lambda d: resid(zero7, d, e))(zero7))(es)
+        def resid_vals(dx, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+            dRi, dti, dsi = lie.sim3_exp(dx[:7])
+            Ria, tia, sia = lie.sim3_compose(dRi, dti, dsi, Ri, ti, si)
+            dRj, dtj, dsj = lie.sim3_exp(dx[7:])
+            Rja, tja, sja = lie.sim3_compose(dRj, dtj, dsj, Rj, tj, sj)
+            return _edge_residual(Ria, tia, sia, Rja, tja, sja,
+                                  Rm, tm, sm)
+
+        zero14 = jnp.zeros(14, dtype)
+        r = jax.vmap(lambda *a: resid_vals(zero14, *a))(
+            Rie, tie, sie, Rje, tje, sje,
+            prob.edge_R, prob.edge_t, prob.edge_s)               # [E, 7]
+        J = jax.vmap(lambda *a: jax.jacfwd(
+            lambda d: resid_vals(d, *a))(zero14))(
+            Rie, tie, sie, Rje, tje, sje,
+            prob.edge_R, prob.edge_t, prob.edge_s)               # [E,7,14]
+        Ji, Jj = J[..., :7], J[..., 7:]
 
         if fix_scale:
             Ji = Ji.at[:, :, 6].set(0.0)
             Jj = Jj.at[:, :, 6].set(0.0)
 
         # Assemble dense H [7K, 7K], b [7K].
-        Hii = jnp.einsum("eri,e,erj->eij", Ji, w, Ji)
-        Hjj = jnp.einsum("eri,e,erj->eij", Jj, w, Jj)
-        Hij = jnp.einsum("eri,e,erj->eij", Ji, w, Jj)
-        bi = -jnp.einsum("eri,e,er->ei", Ji, w, r)
-        bj = -jnp.einsum("eri,e,er->ei", Jj, w, r)
-
-        rows = jnp.concatenate([ei, ej, ei, ej])
-        cols = jnp.concatenate([ei, ej, ej, ei])
-        blocks = jnp.concatenate(
-            [Hii, Hjj, Hij, jnp.swapaxes(Hij, -1, -2)])
-        if jax.default_backend() == "tpu":
-            # One-hot MXU assembly: [E]-indexed scatter-adds into the
-            # [K,K,7,7] Hessian serialize on TPU (measured: the K=512
-            # closure solve took 24 s/solve with the scatter path —
-            # scripts/gba_scale_bench.py r5); chunked one-hot
-            # contractions put the same fill on the MXU (exact under
-            # the package's highest matmul precision; 0/1 weights).
-            CH = 256
-            n4 = rows.shape[0]
-            pad = -(-n4 // CH) * CH - n4
-            rows_p = jnp.pad(rows, (0, pad), constant_values=0)
-            cols_p = jnp.pad(cols, (0, pad), constant_values=0)
-            blocks_p = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+        if exec_backend == "tpu":
+            # H = A^T A with A the weighted block-sparse [7E, 7K] edge
+            # jacobian, expanded through one-hot vertex indicators: ONE
+            # MXU matmul replaces the [E]-indexed scatter-adds, which
+            # serialize on TPU (the scatter-path K=512 closure solve
+            # measured 24 s; the first chunked-one-hot fill still cost
+            # 432 ms/iter — scripts/dissect_pose_graph.py).  Exact
+            # under the package's highest matmul precision.
             kiota = jnp.arange(K, dtype=jnp.int32)
-
-            def fill_chunk(acc, args):
-                r_c, c_c, b_c = args
-                oh_r = (r_c[:, None] == kiota[None, :]).astype(dtype)
-                oh_c = (c_c[:, None] == kiota[None, :]).astype(dtype)
-                t_c = (oh_c[:, :, None]
-                       * b_c.reshape(CH, 1, 49)).reshape(CH, K * 49)
-                return acc + (oh_r.T @ t_c), None
-
-            H_flat, _ = jax.lax.scan(
-                fill_chunk, jnp.zeros((K, K * 49), dtype),
-                (rows_p.reshape(-1, CH), cols_p.reshape(-1, CH),
-                 blocks_p.reshape(-1, CH, 7, 7)))
-            H = H_flat.reshape(K, K, 7, 7)
-            oh_bi = (ei[:, None] == kiota[None, :]).astype(dtype)
-            oh_bj = (ej[:, None] == kiota[None, :]).astype(dtype)
-            b = oh_bi.T @ bi + oh_bj.T @ bj
+            sqw = jnp.sqrt(w)
+            ohi = (ei[:, None] == kiota[None, :]).astype(dtype)   # [E,K]
+            ohj = (ej[:, None] == kiota[None, :]).astype(dtype)
+            A4 = (ohi[:, None, :, None] * Ji[:, :, None, :]
+                  + ohj[:, None, :, None] * Jj[:, :, None, :])
+            A4 = A4 * sqw[:, None, None, None]
+            A = A4.reshape(E * 7, K * 7)
+            Hd = A.T @ A
+            b = -(A.T @ (r * sqw[:, None]).reshape(-1)).reshape(K, 7)
         else:
+            Hii = jnp.einsum("eri,e,erj->eij", Ji, w, Ji)
+            Hjj = jnp.einsum("eri,e,erj->eij", Jj, w, Jj)
+            Hij = jnp.einsum("eri,e,erj->eij", Ji, w, Jj)
+            bi = -jnp.einsum("eri,e,er->ei", Ji, w, r)
+            bj = -jnp.einsum("eri,e,er->ei", Jj, w, r)
+            rows = jnp.concatenate([ei, ej, ei, ej])
+            cols = jnp.concatenate([ei, ej, ej, ei])
+            blocks = jnp.concatenate(
+                [Hii, Hjj, Hij, jnp.swapaxes(Hij, -1, -2)])
             H = jnp.zeros((K, K, 7, 7), dtype)
             H = H.at[rows, cols].add(blocks)
             b = jnp.zeros((K, 7), dtype).at[ei].add(bi).at[ej].add(bj)
-
-        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+            Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         fm = jnp.repeat(free, 7).astype(dtype)
         if fix_scale:
             smask = jnp.tile(
@@ -166,10 +170,46 @@ def optimize_pose_graph(
         Hd = Hd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
         Hd = Hd + lam * jnp.eye(7 * K, dtype=dtype)
         bd = b.reshape(-1) * fm
-        # damped GN normal equations are SPD: Cholesky beats the
-        # pivoted LU jnp.linalg.solve lowers to on TPU
-        L = jax.scipy.linalg.cholesky(Hd, lower=True)
-        dx = jax.scipy.linalg.cho_solve((L, True), bd).reshape(K, 7)
+        if exec_backend == "tpu":
+            # Block-Jacobi-preconditioned CG: TPU factorizations of a
+            # [7K, 7K] system are panel-sequential and latency-bound
+            # (K=512 closure solve: 20.9 s/solve with Cholesky, 24 s
+            # with LU — gba_scale/validate_pose_graph r5), while a CG
+            # iteration is one dense matvec that rides the MXU.  The
+            # damped system is SPD; 7x7 block-Jacobi handles the
+            # vertex-scale disparity.
+            Hb = Hd.reshape(K, 7, K, 7)
+            idxk = jnp.arange(K)
+            diag = Hb[idxk, :, idxk, :]                     # [K, 7, 7]
+            Minv = jnp.linalg.inv(
+                diag + 1e-8 * jnp.eye(7, dtype=dtype))      # [K, 7, 7]
+
+            def precond(v):
+                return jnp.einsum(
+                    "kij,kj->ki", Minv, v.reshape(K, 7)).reshape(-1)
+
+            def cg_body(carry, _):
+                x, rr, p, rz = carry
+                Ap = Hd @ p
+                alpha = rz / jnp.maximum(p @ Ap, 1e-30)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz_new = rr @ z
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                p = z + beta * p
+                return (x, rr, p, rz_new), None
+
+            x0 = jnp.zeros_like(bd)
+            r0 = bd
+            z0 = precond(r0)
+            (dx_flat, _, _, _), _ = jax.lax.scan(
+                cg_body, (x0, r0, z0, r0 @ z0), None, length=128)
+            dx = dx_flat.reshape(K, 7)
+        else:
+            # CPU: direct SPD solve (LAPACK Cholesky is fast here)
+            L = jax.scipy.linalg.cholesky(Hd, lower=True)
+            dx = jax.scipy.linalg.cho_solve((L, True), bd).reshape(K, 7)
         dx = dx * fm.reshape(K, 7)
 
         R_n, t_n, s_n = retract(R, t, s, dx)

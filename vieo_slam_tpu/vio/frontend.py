@@ -324,6 +324,12 @@ class VioFrontend:
             # IMU state alive through the outage, Tracking.cc:79-155;
             # with an encoder the pose comes from wheel odometry).
             self.ns_last = ns_pred
+            # ODOMOK keyframes (the reference's c3 insertion) carry the
+            # dead-reckoned NavState so backend preintegration chains
+            # stay unbroken across the dropout.
+            if tr.last_new_kf is not None:
+                self.kf_times.append((tr.last_new_kf, t))
+                self._store_kf_navstate(tr.last_new_kf)
             self.last_t = t
             self._dispatch_deferred()
             return state
