@@ -130,3 +130,53 @@ def test_landmark_geometry_and_predict_scale():
     # closer means LARGER apparent scale -> higher predicted octave)
     lvl_close = m.predict_scale(lm, np.asarray([0, 0, 2.5], np.float32))
     assert lvl_close[0] > 2
+
+
+def test_found_ratio_cull_scoped_to_probation():
+    """MapPointCulling parity (LocalMapping.cc:351): the found-ratio
+    cull applies ONLY while a landmark is in the probation list — an
+    ESTABLISHED landmark whose found/visible ratio later dips below
+    0.25 must survive (the r4 global cull erased established landmarks
+    under fast rotational sweep and starved tracking of exactly the
+    map it needed; measured in scripts/debug_lemniscate.py)."""
+    import numpy as np
+    from vieo_slam_tpu.backend.local_mapping import (
+        LocalMapper, LocalMappingConfig)
+    from vieo_slam_tpu.cameras import models as cm
+    from vieo_slam_tpu.map.map_state import MapState
+
+    cam = cm.make_pinhole(400.0, 400.0, 320.0, 240.0, 640, 480)
+    from vieo_slam_tpu.map.map_state import MapConfig
+    m = MapState(MapConfig())
+    rng = np.random.RandomState(0)
+    pw = rng.randn(20, 3).astype(np.float32) + [0, 0, 5]
+    desc = rng.randint(0, 2 ** 32, (20, 8), np.uint64).astype(np.uint32)
+
+    # KF 0 so cull bookkeeping has a frame of reference
+    n_kp = 20
+    m.add_keyframe(Rcw=np.eye(3, dtype=np.float32),
+                   tcw=np.zeros(3, np.float32), timestamp=0.0, frame_id=0,
+                   uv=np.zeros((n_kp, 2), np.float32),
+                   level=np.zeros(n_kp, np.int32), desc=desc,
+                   ur=np.full(n_kp, -1, np.float32),
+                   depth=np.full(n_kp, -1, np.float32),
+                   kp_valid=np.ones(n_kp, bool),
+                   lm_idx=np.full(n_kp, -1, np.int32))
+    mapper = LocalMapper(cam, 80.0, m, LocalMappingConfig())
+
+    # established landmarks: NOT in mapper.recent_lms, terrible ratio
+    ids_est = m.add_landmarks(pw[:10], desc[:10], first_kf=0)
+    m.lm_visible[ids_est] = 40
+    m.lm_found[ids_est] = 2            # ratio 0.05 << 0.25
+    m.lm_n_obs[ids_est] = 5
+
+    # probation landmarks with the same terrible ratio
+    ids_new = m.add_landmarks(pw[10:], desc[10:], first_kf=3)
+    m.lm_visible[ids_new] = 40
+    m.lm_found[ids_new] = 2
+    m.lm_n_obs[ids_new] = 5            # obs fine; ratio is the killer
+    mapper.recent_lms.append((3, ids_new))
+
+    mapper.cull_landmarks(k=4)
+    assert m.lm_valid[ids_est].all(), "established landmarks culled"
+    assert not m.lm_valid[ids_new].any(), "probation ratio cull missing"
